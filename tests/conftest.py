@@ -1,0 +1,55 @@
+import os
+
+# Virtual 8-device CPU mesh for sharding tests (must be set before jax import)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def make_tiny64(n=6):
+    """Deterministic 64x64 test clip (matches tests/golden generation)."""
+    W = H = 64
+    rng = np.random.default_rng(42)
+    frames = []
+    yy, xx = np.mgrid[0:H, 0:W]
+    for t in range(n):
+        y = ((xx * 3 + t * 7) % 256).astype(np.uint8)
+        y[(yy + xx + t) % 17 == 0] = 30
+        y[20:40, 10 + 2 * t:30 + 2 * t] = rng.integers(
+            0, 256, size=(20, 20)).astype(np.uint8)
+        u = ((yy[:H // 2, :W // 2] * 2 + t * 3) % 256).astype(np.uint8)
+        v = np.full((H // 2, W // 2), 100 + t, dtype=np.uint8)
+        frames.append(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
+    return np.concatenate(frames).tobytes()
+
+
+def make_noise_cif(n=4):
+    rng = np.random.default_rng(1234)
+    return rng.integers(0, 256, size=(n, 288 * 3 // 2, 352),
+                        dtype=np.uint8).tobytes()
+
+
+def make_smooth_cif(n=10):
+    W, H = 352, 288
+    frames = []
+    yy, xx = np.mgrid[0:H, 0:W]
+    for t in range(n):
+        y = ((xx + 2 * t) % 256 * 0.5 + (yy + t) % 256 * 0.5).astype(np.uint8)
+        bx, by = 40 + 6 * t, 60 + 3 * t
+        y[by:by + 64, bx:bx + 64] = 200
+        u = np.full((H // 2, W // 2), 128 - 10 + t, dtype=np.uint8)
+        v = np.full((H // 2, W // 2), 128 + 5, dtype=np.uint8)
+        frames.append(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
+    return np.concatenate(frames).tobytes()
+
+
+@pytest.fixture(scope="session")
+def golden_dir():
+    return GOLDEN

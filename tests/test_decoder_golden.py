@@ -1,0 +1,42 @@
+"""Decoder bit-exactness vs C-oracle golden streams.
+
+Golden data was produced by the reference Thorenc (cisco/thor built from
+/root/reference) and validated by the reference's own round-trip oracle
+(check.sh semantics: Thordec output == Thorenc recon).
+"""
+import os
+
+import pytest
+
+from thor_tpu.dec import decode_stream
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _check(name):
+    bit = os.path.join(GOLDEN, name + ".bit")
+    rec = os.path.join(GOLDEN, name + "_rec.yuv")
+    if not (os.path.exists(bit) and os.path.exists(rec)):
+        pytest.skip(f"golden {name} not present")
+    data = open(bit, "rb").read()
+    _, frames = decode_stream(data)
+    golden = open(rec, "rb").read()
+    out = b"".join(frames)
+    assert len(out) == len(golden)
+    fs = len(golden) // len(frames)
+    for i, f in enumerate(frames):
+        assert f == golden[i * fs:(i + 1) * fs], f"frame {i} mismatch"
+
+
+def test_tiny64_ldb_low_complexity():
+    _check("tiny64_ldblc")
+
+
+@pytest.mark.slow
+def test_smooth_cif_ldb_low_complexity():
+    _check("smooth_cif_ldblc")
+
+
+@pytest.mark.slow
+def test_noise_cif_ldb_low_complexity():
+    _check("noise_cif_ldblc")
