@@ -40,3 +40,13 @@ def test_smooth_cif_ldb_low_complexity():
 @pytest.mark.slow
 def test_noise_cif_ldb_low_complexity():
     _check("noise_cif_ldblc")
+
+
+@pytest.mark.slow
+def test_small256_ldb_medium_complexity():
+    _check("small256_LDB_medium_complexity")
+
+
+@pytest.mark.slow
+def test_small256_ldb_high_efficiency():
+    _check("small256_LDB_high_efficiency")

@@ -671,13 +671,20 @@ class Decoder:
                                                     xpos + j, size2, im,
                                                     bitdepth)
                     if pred_y is not None:
+                        # The reference indexes the luma pred buffer with
+                        # chroma offsets and reads it with the sub-block's
+                        # luma stride (dec/decode_block.c:110-111:
+                        # &pblock_y[i*size+j] with chroma i,j,size) - a
+                        # skewed window, replicated here verbatim.
                         n2 = size2 << sub
+                        flat = pred_y.reshape(-1)
+                        start = i * size + j
+                        ys_skewed = flat[start:start + n2 * n2].reshape(n2, n2)
                         ry = rec_y_plane[yposY + (i << sub):yposY + (i << sub) + n2,
                                          xposY + (j << sub):xposY + (j << sub) + n2]
                         improve_uv_prediction(
-                            pred_y[i << sub:(i << sub) + n2,
-                                   j << sub:(j << sub) + n2],
-                            pu, pv, ry.astype(np.int32), n2, sub, bitdepth)
+                            ys_skewed, pu, pv, ry.astype(np.int32), n2, sub,
+                            bitdepth)
                     index = 2 * (i // size2) + (j // size2)
                     rco = dequantize(coeff_u[index][:min(size2, 16),
                                                     :min(size2, 16)],
