@@ -50,3 +50,23 @@ def test_small256_ldb_medium_complexity():
 @pytest.mark.slow
 def test_small256_ldb_high_efficiency():
     _check("small256_LDB_high_efficiency")
+
+
+@pytest.mark.slow
+def test_s17_hdb16_low_complexity():
+    _check("s17_HDB16_low_complexity")
+
+
+@pytest.mark.slow
+def test_s17_ra_medium_complexity():
+    _check("s17_RA_medium_complexity")
+
+
+@pytest.mark.slow
+def test_s17_hdb16_qm_he_10bit():
+    _check("s17_hbd10")
+
+
+@pytest.mark.slow
+def test_small256_ldb_qm_medium():
+    _check("small256_LDB_qm_medium_complexity")

@@ -530,10 +530,12 @@ class Decoder:
         tb_split = bp["tb_split"]
         ql = qp_to_qlevel(qpY, h.qmtx_offset) if h.qmtx else 0
 
-        def iwm(plane, intra_f, sz):
+        def iwm(plane, intra_f):
+            # per-size matrix list (C iwmatrix[ql][plane][intra]); dequant
+            # sites index by log2(size/4)
             if not h.qmtx:
                 return None
-            return self.iwmatrix[ql][plane][intra_f][log2i(sz // 4)]
+            return self.iwmatrix[ql][plane][intra_f]
 
         if mode == MODE_INTRA:
             sb_size = 1 << h.log2_sb_size
@@ -544,12 +546,12 @@ class Decoder:
             im = bp["intra_mode"]
             pred_y = self._intra_recon(rec.y, ypos, xpos, sizeY, qpY,
                                        coeffs["y"], tb_split, ur, dl, im,
-                                       iwm(0, 1, None), h.bitdepth)
+                                       iwm(0, 1), h.bitdepth)
             if not self.mono:
                 self._intra_recon_uv(rec.u, rec.v, ypos >> sub, xpos >> sub,
                                      sizeC, qpC, coeffs["u"], coeffs["v"],
                                      tb_split and sizeC > 4, ur, dl, im,
-                                     iwm(1, 1, None),
+                                     iwm(1, 1),
                                      pred_y if h.cfl_intra else None,
                                      rec.y, ypos, xpos, sub, h.bitdepth)
         else:
@@ -571,7 +573,7 @@ class Decoder:
                 return
             # dequant + itransform + reconstruct
             ry = self._inter_residual(coeffs["y"], sizeY, qpY, tb_split,
-                                      iwm(0, 0, None), h.bitdepth)
+                                      iwm(0, 0), h.bitdepth)
             rec.y[ypos:ypos + sizeY, xpos:xpos + sizeY] = \
                 reconstruct_block(ry, py, h.bitdepth).astype(rec.dtype)
             if not self.mono:
@@ -584,12 +586,12 @@ class Decoder:
                 yC, xC = ypos >> sub, xpos >> sub
                 ru = self._inter_residual(coeffs["u"], sizeC, qpC,
                                           tb_split and sizeC > 4,
-                                          iwm(1, 0, None), h.bitdepth)
+                                          iwm(1, 0), h.bitdepth)
                 rec.u[yC:yC + sizeC, xC:xC + sizeC] = \
                     reconstruct_block(ru, pu, h.bitdepth).astype(rec.dtype)
                 rv = self._inter_residual(coeffs["v"], sizeC, qpC,
                                           tb_split and sizeC > 4,
-                                          iwm(2, 0, None), h.bitdepth)
+                                          iwm(2, 0), h.bitdepth)
                 rec.v[yC:yC + sizeC, xC:xC + sizeC] = \
                     reconstruct_block(rv, pv, h.bitdepth).astype(rec.dtype)
         self._copy_deblock_data(bp, size, ypos, xpos, bwidth, bheight)
@@ -610,11 +612,11 @@ class Decoder:
             out[i:i + size2, j:j + size2] = transform_inv(rco, size2, bitdepth)
         return out
 
-    def _iw_for(self, iwmatrix, size):
-        # iwmatrix arg is already the per-size matrix table or None
-        if iwmatrix is None:
+    @staticmethod
+    def _iw_for(iwlist, size):
+        if iwlist is None:
             return None
-        return iwmatrix
+        return iwlist[log2i(size // 4)]
 
     def _intra_recon(self, plane, ypos, xpos, size, qp, coeff, tb_split,
                      ur, dl, im, iwmatrix, bitdepth):
@@ -634,7 +636,7 @@ class Decoder:
                     index = 2 * (i // size2) + (j // size2)
                     rco = dequantize(coeff[index][:min(size2, 16),
                                                   :min(size2, 16)],
-                                     qp, size2, iwmatrix)
+                                     qp, size2, self._iw_for(iwmatrix, size2))
                     rb = transform_inv(rco, size2, bitdepth)
                     plane[ypos + i:ypos + i + size2,
                           xpos + j:xpos + j + size2] = \
@@ -646,7 +648,7 @@ class Decoder:
                                            im, bitdepth)
             pred_full[:, :] = p
             rco = dequantize(coeff[:min(size, 16), :min(size, 16)], qp, size,
-                             iwmatrix)
+                             self._iw_for(iwmatrix, size))
             rb = transform_inv(rco, size, bitdepth)
             plane[ypos:ypos + size, xpos:xpos + size] = \
                 reconstruct_block(rb, p, bitdepth).astype(plane.dtype)
@@ -688,14 +690,14 @@ class Decoder:
                     index = 2 * (i // size2) + (j // size2)
                     rco = dequantize(coeff_u[index][:min(size2, 16),
                                                     :min(size2, 16)],
-                                     qp, size2, iwmatrix)
+                                     qp, size2, self._iw_for(iwmatrix, size2))
                     rb = transform_inv(rco, size2, bitdepth)
                     pu_plane[ypos + i:ypos + i + size2,
                              xpos + j:xpos + j + size2] = \
                         reconstruct_block(rb, pu, bitdepth).astype(pu_plane.dtype)
                     rco = dequantize(coeff_v[index][:min(size2, 16),
                                                     :min(size2, 16)],
-                                     qp, size2, iwmatrix)
+                                     qp, size2, self._iw_for(iwmatrix, size2))
                     rb = transform_inv(rco, size2, bitdepth)
                     pv_plane[ypos + i:ypos + i + size2,
                              xpos + j:xpos + j + size2] = \
@@ -715,12 +717,12 @@ class Decoder:
                 improve_uv_prediction(pred_y, pu, pv, ry.astype(np.int32),
                                       n, sub, bitdepth)
             rco = dequantize(coeff_u[:min(size, 16), :min(size, 16)], qp,
-                             size, iwmatrix)
+                             size, self._iw_for(iwmatrix, size))
             rb = transform_inv(rco, size, bitdepth)
             pu_plane[ypos:ypos + size, xpos:xpos + size] = \
                 reconstruct_block(rb, pu, bitdepth).astype(pu_plane.dtype)
             rco = dequantize(coeff_v[:min(size, 16), :min(size, 16)], qp,
-                             size, iwmatrix)
+                             size, self._iw_for(iwmatrix, size))
             rb = transform_inv(rco, size, bitdepth)
             pv_plane[ypos:ypos + size, xpos:xpos + size] = \
                 reconstruct_block(rb, pv, bitdepth).astype(pv_plane.dtype)

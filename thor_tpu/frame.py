@@ -88,35 +88,58 @@ class YuvFrame:
             n += 2 * (self.width >> self.wsub) * self.cheight
         return n * bpp
 
+    def _scale_in(self, plane):
+        """File sample -> internal bitdepth (common_frame.c:478-543)."""
+        ib, b = self.input_bitdepth, self.bitdepth
+        if ib == b:
+            return plane.astype(self.dtype)
+        if b > ib:
+            return (plane.astype(np.uint16) << (b - ib)).astype(self.dtype)
+        rnd = 1 << (ib - b - 1)
+        return ((plane.astype(np.int32) + rnd) >> (ib - b)).astype(self.dtype)
+
+    def _scale_out(self, plane):
+        """Internal -> file sample (common_frame.c:546-650)."""
+        ib, b = self.input_bitdepth, self.bitdepth
+        if ib == b:
+            return plane
+        if ib > b:
+            return plane.astype(np.uint16) << (ib - b)
+        rnd = 1 << (b - ib - 1)
+        v = np.clip((plane.astype(np.int32) + rnd) >> (b - ib),
+                    0, (1 << ib) - 1)
+        return v.astype(np.uint8 if ib == 8 else np.uint16)
+
     def read_from(self, data: bytes, offset: int = 0) -> int:
         w, h = self.width, self.height
-        assert self.input_bitdepth == 8 and self.bitdepth == 8, "HBD I/O TBD"
-        y = np.frombuffer(data, np.uint8, w * h, offset).reshape(h, w)
-        self.y[:] = y
-        offset += w * h
+        ftype = np.uint8 if self.input_bitdepth == 8 else np.uint16
+        bpp = ftype().nbytes
+
+        def rd(n):
+            nonlocal offset
+            a = np.frombuffer(data, ftype, n, offset)
+            offset += n * bpp
+            return a
+
+        self.y[:] = self._scale_in(rd(w * h).reshape(h, w))
         if not self.mono:
             cw, ch = w >> self.wsub, self.cheight
-            u = np.frombuffer(data, np.uint8, cw * ch, offset).reshape(ch, cw)
-            offset += cw * ch
-            v = np.frombuffer(data, np.uint8, cw * ch, offset).reshape(ch, cw)
-            offset += cw * ch
+            u = rd(cw * ch).reshape(ch, cw)
+            v = rd(cw * ch).reshape(ch, cw)
             if self.subsample == 422:
                 u = np.repeat(u, 2, axis=1)
                 v = np.repeat(v, 2, axis=1)
-            self.u[:] = u
-            self.v[:] = v
+            self.u[:] = self._scale_in(u)
+            self.v[:] = self._scale_in(v)
         return offset
 
     def to_bytes(self) -> bytes:
-        assert self.input_bitdepth == 8 and self.bitdepth == 8, "HBD I/O TBD"
-        parts = [self.y.tobytes()]
+        parts = [self._scale_out(self.y).tobytes()]
         if not self.mono:
-            u, v = self.u, self.v
+            u, v = self._scale_out(self.u), self._scale_out(self.v)
             if self.subsample == 422:
-                u = (u[:, ::2].astype(np.uint16) + u[:, 1::2] + 1) >> 1
-                v = (v[:, ::2].astype(np.uint16) + v[:, 1::2] + 1) >> 1
-                u = u.astype(np.uint8)
-                v = v.astype(np.uint8)
+                u = ((u[:, ::2].astype(np.uint32) + u[:, 1::2] + 1) >> 1).astype(u.dtype)
+                v = ((v[:, ::2].astype(np.uint32) + v[:, 1::2] + 1) >> 1).astype(v.dtype)
             parts += [u.tobytes(), v.tobytes()]
         return b"".join(parts)
 

@@ -42,21 +42,29 @@ def _ref_read(ref_full: np.ndarray, pad: int, y0: int, x0: int,
 def mc_luma(ref_full: np.ndarray, pad: int, ypos: int, xpos: int,
             bwidth: int, bheight: int, mvy: int, mvx: int, sign: int,
             bipred: int, pic_width: int, pic_height: int,
-            bitdepth: int) -> np.ndarray:
+            bitdepth: int, clamp_ypos: int | None = None,
+            clamp_xpos: int | None = None) -> np.ndarray:
     """Quarter-pel luma MC (inter_prediction.c:117-181).
 
-    ref_full: padded reference plane; (ypos,xpos) block pos in visible coords.
+    ref_full: padded reference plane; (ypos,xpos) block pos in visible
+    coords (the C ref pointer).  clamp_ypos/clamp_xpos: the xpos/ypos args
+    the C code clamps ver_int/hor_int with - for split sub-PBs the caller
+    passes the *parent block* origin there (inter_prediction.c:214).
     """
+    if clamp_ypos is None:
+        clamp_ypos = ypos
+    if clamp_xpos is None:
+        clamp_xpos = xpos
     if sign:
         mvy, mvx = -mvy, -mvx
     ver_frac = mvy & 3
     hor_frac = mvx & 3
     ver_int = mvy >> 2
     hor_int = mvx >> 2
-    ver_int = min(ver_int, pic_height - ypos)
-    ver_int = max(ver_int, -xpos - bheight)  # (sic - quirk kept, see C)
-    hor_int = min(hor_int, pic_width - xpos)
-    hor_int = max(hor_int, -xpos - bwidth)
+    ver_int = min(ver_int, pic_height - clamp_ypos)
+    ver_int = max(ver_int, -clamp_xpos - bheight)  # (sic - quirk kept)
+    hor_int = min(hor_int, pic_width - clamp_xpos)
+    hor_int = max(hor_int, -clamp_xpos - bwidth)
 
     y0 = ypos + ver_int
     x0 = xpos + hor_int
@@ -92,19 +100,25 @@ def mc_luma(ref_full: np.ndarray, pad: int, ypos: int, xpos: int,
 
 def mc_chroma(ref_full: np.ndarray, pad: int, ypos: int, xpos: int,
               bwidth: int, bheight: int, mvy: int, mvx: int, sign: int,
-              pic_width2: int, pic_height2: int, bitdepth: int) -> np.ndarray:
+              pic_width2: int, pic_height2: int, bitdepth: int,
+              clamp_ypos: int | None = None,
+              clamp_xpos: int | None = None) -> np.ndarray:
     """Eighth-pel 4-tap chroma MC (inter_prediction.c:65-115).
     All coords/sizes in chroma units; mv still in luma quarter-pel units."""
+    if clamp_ypos is None:
+        clamp_ypos = ypos
+    if clamp_xpos is None:
+        clamp_xpos = xpos
     if sign:
         mvy, mvx = -mvy, -mvx
     ver_frac = mvy & 7
     hor_frac = mvx & 7
     ver_int = mvy >> 3
     hor_int = mvx >> 3
-    ver_int = min(ver_int, pic_height2 - ypos)
-    ver_int = max(ver_int, -xpos - bheight)
-    hor_int = min(hor_int, pic_width2 - xpos)
-    hor_int = max(hor_int, -xpos - bwidth)
+    ver_int = min(ver_int, pic_height2 - clamp_ypos)
+    ver_int = max(ver_int, -clamp_xpos - bheight)
+    hor_int = min(hor_int, pic_width2 - clamp_xpos)
+    hor_int = max(hor_int, -clamp_xpos - bwidth)
     y0 = ypos + ver_int
     x0 = xpos + hor_int
     if ver_frac == 0 and hor_frac == 0:
@@ -144,28 +158,30 @@ def get_inter_prediction_yuv(ref, mv_arr, ypos, xpos, size, bwidth, bheight,
         oy, ox = idy * bh, idx * bw
         mvy, mvx = mv_arr[index]
         mvy, mvx = clip_mv(mvy, mvx, ypos, xpos, width, height, bw, bh, sign)
+        # The C code points ref at the sub-PB but passes the parent block
+        # origin as the clamp coords (inter_prediction.c:205-224).
         py[oy:oy + bh, ox:ox + bw] = mc_luma(
             ref.y_full, ref.pad, ypos + oy, xpos + ox, bw, bh, mvy, mvx,
-            sign, enable_bipred, width, height, bitdepth)
+            sign, enable_bipred, width, height, bitdepth, ypos, xpos)
         if ref.mono:
             continue
         if sub:
             pu[oy >> 1:(oy + bh) >> 1, ox >> 1:(ox + bw) >> 1] = mc_chroma(
                 ref.u_full, ref.pad_c, (ypos + oy) >> 1, (xpos + ox) >> 1,
                 bw >> 1, bh >> 1, mvy, mvx, sign, width >> 1, height >> 1,
-                bitdepth)
+                bitdepth, ypos >> 1, xpos >> 1)
             pv[oy >> 1:(oy + bh) >> 1, ox >> 1:(ox + bw) >> 1] = mc_chroma(
                 ref.v_full, ref.pad_c, (ypos + oy) >> 1, (xpos + ox) >> 1,
                 bw >> 1, bh >> 1, mvy, mvx, sign, width >> 1, height >> 1,
-                bitdepth)
+                bitdepth, ypos >> 1, xpos >> 1)
         else:
             # 4:4:4 uses luma filters for chroma with bipred forced 0
             pu[oy:oy + bh, ox:ox + bw] = mc_luma(
                 ref.u_full, ref.pad_c, ypos + oy, xpos + ox, bw, bh, mvy, mvx,
-                sign, 0, width, height, bitdepth)
+                sign, 0, width, height, bitdepth, ypos, xpos)
             pv[oy:oy + bh, ox:ox + bw] = mc_luma(
                 ref.v_full, ref.pad_c, ypos + oy, xpos + ox, bw, bh, mvy, mvx,
-                sign, 0, width, height, bitdepth)
+                sign, 0, width, height, bitdepth, ypos, xpos)
     return py, pu, pv
 
 
