@@ -1,0 +1,509 @@
+"""Encoder-side in-loop filter decisions: CDEF joint strength search and
+CLPF RDO (mirrors enc/encode_frame.c:44-635)."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..tables import MIN_PB_SIZE, CDEF_VERY_LARGE, log2i
+from ..spec import filters
+from ..spec.filters import (cdef_find_dir, cdef_filter_block, adjust_strength,
+                            cdef_allskip, _constrain1)
+
+CDEF_PRI_STRENGTHS = 16
+CDEF_SEC_STRENGTHS = 4
+TOTAL_STRENGTHS = CDEF_PRI_STRENGTHS * CDEF_SEC_STRENGTHS
+CDEF_STRENGTH_BITS = 6
+
+PRICONV = [list(range(16)), [0, 1, 2, 3, 5, 7, 10, 13], [0, 1, 3, 6]]
+PRISTRENGTHS = [64, 32, 16]
+
+
+def dist_8x8(dst, src, coeff_shift):
+    """enc/encode_frame.c:194-221 (weighted 8x8 distortion)."""
+    s = src.astype(np.int64)
+    d = dst.astype(np.int64)
+    sum_s = int(s.sum()); sum_d = int(d.sum())
+    sum_s2 = int((s * s).sum()); sum_d2 = int((d * d).sum())
+    sum_sd = int((s * d).sum())
+    svar = sum_s2 - ((sum_s * sum_s + 32) >> 6)
+    dvar = sum_d2 - ((sum_d * sum_d + 32) >> 6)
+    return int(math.floor(
+        .5 + (sum_d2 + sum_s2 - 2 * sum_sd) * .5 *
+        (svar + dvar + (400 << 2 * coeff_shift)) /
+        (math.sqrt((20000 << 4 * coeff_shift) + svar * float(dvar)))))
+
+
+def _search_one(lev, nb, mse, sb_count, speed):
+    total = PRISTRENGTHS[speed]
+    tot = [0] * total
+    for i in range(sb_count):
+        best_mse = 1 << 63
+        for gi in range(nb):
+            if mse[i][lev[gi]] < best_mse:
+                best_mse = mse[i][lev[gi]]
+        for j in range(total):
+            tot[j] += min(best_mse, mse[i][j])
+    best_tot, best_id = 1 << 63, 0
+    for j in range(total):
+        if tot[j] < best_tot:
+            best_tot, best_id = tot[j], j
+    lev[nb] = best_id
+    return best_tot
+
+
+def _search_one_dual(lev0, lev1, nb, mse0, mse1, sb_count, speed):
+    total = PRISTRENGTHS[speed]
+    tot = np.zeros((total, total), np.int64)
+    m0 = np.asarray(mse0, np.int64)[:sb_count, :total]
+    m1 = np.asarray(mse1, np.int64)[:sb_count, :total]
+    if nb:
+        cur = np.stack([m0[:, lev0[g]] + m1[:, lev1[g]] for g in range(nb)])
+        best = cur.min(axis=0)
+    else:
+        best = np.full(sb_count, 1 << 62, np.int64)
+    comb = m0[:, :, None] + m1[:, None, :]        # [sb, j, k]
+    tot = np.minimum(comb, best[:, None, None]).sum(axis=0)
+    idx = int(np.argmin(tot.reshape(-1)))
+    best_id0, best_id1 = idx // total, idx % total
+    # C scans j outer, k inner, strict '<' keeps first -> argmin matches
+    lev0[nb] = best_id0
+    lev1[nb] = best_id1
+    return int(tot[best_id0, best_id1])
+
+
+def joint_strength_search_dual(lev0, lev1, nb_strengths, mse0, mse1,
+                               sb_count, speed):
+    best_tot = 1 << 63
+    for i in range(nb_strengths):
+        best_tot = _search_one_dual(lev0, lev1, i, mse0, mse1, sb_count,
+                                    speed)
+    for _ in range(4 * nb_strengths):
+        for j in range(nb_strengths - 1):
+            lev0[j] = lev0[j + 1]
+            lev1[j] = lev1[j + 1]
+        best_tot = _search_one_dual(lev0, lev1, nb_strengths - 1, mse0, mse1,
+                                    sb_count, speed)
+    return best_tot
+
+
+def cdef_search(enc, rec, org, dd):
+    """enc/encode_frame.c:228-489.  Emits per-fb preset indices to the
+    stream; fills enc.cdef_strengths/uv and enc.cdef_presets_per_fb.
+    Returns nb_strength_bits."""
+    p = enc.params
+    speed = p.cdef - 1
+    width, height = rec.width, rec.height
+    fb = 6
+    nfh = (width + 63) >> fb
+    nfv = (height + 63) >> fb
+    bitdepth = p.bitdepth
+    coeff_shift = bitdepth - 8
+    pri_damping = enc.cdef_damping
+    sec_damping = pri_damping
+    total = PRISTRENGTHS[speed]
+    w = enc.w
+
+    enc.cdef_dirs = {}
+    enc.cdef_sel = {}
+
+    if speed == 3:
+        enc.cdef_bits = 0
+    if enc.cdef_bits == 0:
+        qp = enc.fi.qp
+        primary = max(0, (qp - 24) // 3)
+        secondary = int(16 < qp < 32)
+        enc.cdef_strengths[0] = enc.cdef_uv_strengths[0] = \
+            (primary << 2) + secondary
+        sel = {}
+        for ci in range(nfh * nfv):
+            sel[ci] = 0
+        enc.cdef_sel = sel
+        return 0
+
+    planes = [(rec.y, org.y, 0, 0), (rec.u, org.u, 1, rec.sub),
+              (rec.v, org.v, 2, rec.sub)]
+
+    mse0 = []
+    mse1 = []
+    ci_index = []
+    ci = -1
+    for k in range(nfv):
+        for l in range(nfh):
+            xoff, yoff = l << fb, k << fb
+            ci += 1
+            if cdef_allskip(xoff, yoff, width, height, dd, fb):
+                continue
+            hl = min(height, (k + 1) << fb) & 63
+            wl = min(width, (l + 1) << fb) & 63
+            hl += (not hl) << fb
+            wl += (not wl) << fb
+            row0 = [0] * TOTAL_STRENGTHS
+            row1 = [0] * TOTAL_STRENGTHS
+            dirs = {}
+            for (rp, op, plane, sub) in planes:
+                bs = 8
+                for gi in range(total):
+                    level = PRICONV[speed][gi // CDEF_SEC_STRENGTHS]
+                    pri_strength = level
+                    sec_strength = gi % CDEF_SEC_STRENGTHS
+                    acc = 0
+                    for m in range((hl + bs - 1) >> (3 + sub)):
+                        for n in range((wl + bs - 1) >> (3 + sub)):
+                            xpos = (xoff >> sub) + n * bs
+                            ypos = (yoff >> sub) + m * bs
+                            sizex = min((width >> sub) - xpos, bs)
+                            sizey = min((height >> sub) - ypos, bs)
+                            idx = (((yoff + m * 8) // MIN_PB_SIZE) * w +
+                                   ((xoff + n * 8) // MIN_PB_SIZE))
+                            if plane == 0 and gi == 0:
+                                dirs[(m, n)] = cdef_find_dir(
+                                    rp[ypos:ypos + 8, xpos:xpos + 8],
+                                    coeff_shift)
+                            if dd.mode[idx] == 0:  # MODE_SKIP
+                                continue
+                            d, var = dirs[(m, n)]
+                            adj = (pri_strength if plane else
+                                   adjust_strength(pri_strength, var))
+                            pd = (max(log2i(adj), pri_damping - (plane != 0))
+                                  if adj else pri_damping - (plane != 0))
+                            sd = sec_damping - (plane != 0)
+                            # input window with frame-edge handling per fb
+                            inp = np.full((sizey + 4, sizex + 4),
+                                          CDEF_VERY_LARGE, np.int32)
+                            ph, pw = rp.shape
+                            # the fb-level prepared buffer marks pixels
+                            # outside the fb's boundary-type as VERY_LARGE
+                            fx0 = xoff >> sub
+                            fy0 = yoff >> sub
+                            fx1 = fx0 + (min(width - xoff, 64) >> sub)
+                            fy1 = fy0 + (min(height - yoff, 64) >> sub)
+                            bt_l = fx0 == 0
+                            bt_t = fy0 == 0
+                            bt_r = fx1 == (width >> sub)
+                            bt_b = fy1 == (height >> sub)
+                            lo_y = fy0 if bt_t else fy0 - 2
+                            hi_y = fy1 if bt_b else fy1 + 2
+                            lo_x = fx0 if bt_l else fx0 - 2
+                            hi_x = fx1 if bt_r else fx1 + 2
+                            y0c, y1c = ypos - 2, ypos + sizey + 2
+                            x0c, x1c = xpos - 2, xpos + sizex + 2
+                            ry0, ry1 = max(y0c, lo_y), min(y1c, hi_y)
+                            rx0, rx1 = max(x0c, lo_x), min(x1c, hi_x)
+                            if ry1 > ry0 and rx1 > rx0:
+                                inp[ry0 - y0c:ry1 - y0c,
+                                    rx0 - x0c:rx1 - x0c] = rp[ry0:ry1,
+                                                              rx0:rx1]
+                            out = cdef_filter_block(
+                                inp, adj << coeff_shift,
+                                sec_strength << coeff_shift,
+                                d if pri_strength else 0,
+                                pd + coeff_shift, sd + coeff_shift,
+                                sizey, sizex, coeff_shift)
+                            ob = op[ypos:ypos + sizey, xpos:xpos + sizex]
+                            if plane or sizex != 8 or sizey != 8:
+                                dd2 = (out.astype(np.int64) -
+                                       ob.astype(np.int64))
+                                acc += int((dd2 * dd2).sum())
+                            else:
+                                acc += dist_8x8(out, ob, coeff_shift)
+                    # C accumulates planes 1 and 2 into the same mse[1] row
+                    if plane < 2:
+                        (row0 if plane == 0 else row1)[gi] = acc
+                    else:
+                        row1[gi] += acc
+            enc.cdef_dirs[ci] = dirs
+            mse0.append(row0)
+            mse1.append(row1)
+            ci_index.append(ci)
+    sb_count = len(ci_index)
+
+    strengths = [0] * 8
+    uv_strengths = [0] * 8
+    nb_strength_bits = 0
+    best_tot_mse = 1 << 63
+    lam = enc.fi.lambda_
+    i = enc.cdef_bits
+    lev0 = [0] * 8
+    lev1 = [0] * 8
+    tot = joint_strength_search_dual(lev0, lev1, 1 << i, mse0, mse1,
+                                     sb_count, speed)
+    tot += int(sb_count * lam * i)
+    tot += int((1 << i) * lam * CDEF_STRENGTH_BITS)
+    if tot < best_tot_mse:
+        best_tot_mse = tot
+        nb_strength_bits = i
+        for j in range(1 << i):
+            strengths[j] = lev0[j]
+            uv_strengths[j] = lev1[j]
+
+    # sort + dedup (enc/encode_frame.c:420-436)
+    n = 1 << nb_strength_bits
+    lst = sorted(((strengths[i2] << 16) + (uv_strengths[i2] << 8) + i2)
+                 for i2 in range(n))
+    gi_trans = [0] * 8
+    j = 0
+    for i2 in range(n):
+        gi_trans[lst[i2] & 255] = j
+        if not i2 or (lst[i2] & ~255) != (lst[i2 - 1] & ~255):
+            strengths[j] = lst[i2] >> 16
+            uv_strengths[j] = (lst[i2] >> 8) & 255
+            j += 1
+    nb_strength_bits = log2i(j)
+    nb_strengths = 1 << nb_strength_bits
+
+    # assign best preset per fb + emit bits
+    sel = {}
+    for i2 in range(sb_count):
+        best_gi, best_mse = 0, 1 << 63
+        for gi in range(1 << nb_strength_bits):
+            curr = mse0[i2][strengths[gi_trans[gi]]]
+            if p.subsample != 400:
+                curr += mse1[i2][uv_strengths[gi_trans[gi]]]
+            if curr < best_mse:
+                best_gi = min(nb_strengths - 1, gi_trans[gi])
+                best_mse = curr
+        sel[ci_index[i2]] = best_gi
+        if nb_strength_bits:
+            enc.writer.put_flc(nb_strength_bits, best_gi)
+
+    for j2 in range(nb_strengths):
+        strengths[j2] = (PRICONV[speed][strengths[j2] // CDEF_SEC_STRENGTHS] *
+                         CDEF_SEC_STRENGTHS +
+                         strengths[j2] % CDEF_SEC_STRENGTHS)
+        uv_strengths[j2] = (
+            PRICONV[speed][uv_strengths[j2] // CDEF_SEC_STRENGTHS] *
+            CDEF_SEC_STRENGTHS + uv_strengths[j2] % CDEF_SEC_STRENGTHS)
+
+    enc.cdef_strengths = strengths
+    enc.cdef_uv_strengths = uv_strengths
+    enc.cdef_sel = sel
+    return nb_strength_bits
+
+
+def apply_cdef_enc(enc, rec, dd):
+    """Apply CDEF with the selected strengths (decoder-identical math)."""
+    p = enc.params
+    nfh = (rec.width + 63) >> 6
+    nfv = (rec.height + 63) >> 6
+    presets_y, presets_uv = [], []
+    for ci in range(nfh * nfv):
+        gi = enc.cdef_sel.get(ci, 0)
+        sy = enc.cdef_strengths[gi]
+        su = enc.cdef_uv_strengths[gi]
+        presets_y.append({"level": sy >> 2, "sec_strength": sy & 3})
+        presets_uv.append({"level": su >> 2, "sec_strength": su & 3})
+    damping = (enc.cdef_damping, enc.cdef_damping)
+    dirs = {}
+    filters.cdef_frame(rec.y, dd, rec.width, rec.height, 0, rec.sub,
+                       p.bitdepth, presets_y, damping, dirs)
+    if not rec.mono:
+        filters.cdef_frame(rec.u, dd, rec.width, rec.height, 1, rec.sub,
+                           p.bitdepth, presets_uv, damping, dirs)
+        filters.cdef_frame(rec.v, dd, rec.width, rec.height, 2, rec.sub,
+                           p.bitdepth, presets_uv, damping, dirs)
+
+
+# ---------------- CLPF RDO ----------------
+
+def _clpf_sample(X, A, B, C, D, E, F, G, H, s, dmp):
+    delta = (1 * _constrain1(A - X, s, dmp) + 3 * _constrain1(B - X, s, dmp) +
+             1 * _constrain1(C - X, s, dmp) + 3 * _constrain1(D - X, s, dmp) +
+             3 * _constrain1(E - X, s, dmp) + 1 * _constrain1(F - X, s, dmp) +
+             3 * _constrain1(G - X, s, dmp) + 1 * _constrain1(H - X, s, dmp))
+    return (8 + delta - (delta < 0)) >> 4
+
+
+def _gather_clpf(rec_p, x0, y0, width, height, size):
+    """Vectorized A..H taps with frame-edge clamping
+    (detect_clpf/detect_multi_clpf addressing)."""
+    s = rec_p.astype(np.int32)
+    ys, xs = np.mgrid[y0:y0 + size, x0:x0 + size]
+    X = s[ys, xs]
+    A = s[np.maximum(0, ys - 2), xs]
+    B = s[np.maximum(0, ys - 1), xs]
+    C = s[ys, np.maximum(0, xs - 2)]
+    D = s[ys, np.maximum(0, xs - 1)]
+    E = s[ys, np.minimum(width - 1, xs + 1)]
+    F = s[ys, np.minimum(width - 1, xs + 2)]
+    G = s[np.minimum(height - 1, ys + 1), xs]
+    H = s[np.minimum(height - 1, ys + 2), xs]
+    return X, A, B, C, D, E, F, G, H
+
+
+def _constrain_v(diff, threshold, damping):
+    if not threshold:
+        return np.zeros_like(diff)
+    shift = damping - log2i(threshold)
+    ad = np.abs(diff)
+    return np.sign(diff) * np.minimum(ad, np.maximum(0, threshold -
+                                                     (ad >> shift)))
+
+
+def _clpf_delta_v(X, A, B, C, D, E, F, G, H, s, dmp):
+    delta = (1 * _constrain_v(A - X, s, dmp) + 3 * _constrain_v(B - X, s, dmp)
+             + 1 * _constrain_v(C - X, s, dmp)
+             + 3 * _constrain_v(D - X, s, dmp)
+             + 3 * _constrain_v(E - X, s, dmp)
+             + 1 * _constrain_v(F - X, s, dmp)
+             + 3 * _constrain_v(G - X, s, dmp)
+             + 1 * _constrain_v(H - X, s, dmp))
+    return (8 + delta - (delta < 0)) >> 4
+
+
+def detect_clpf(rec_p, org_p, x0, y0, width, height, strength, shift, size,
+                dmp):
+    """enc/encode_block.c:2568-2591. Returns (sum0, sum1) as uint32 sums."""
+    X, A, B, C, D, E, F, G, H = _gather_clpf(rec_p, x0, y0, width, height,
+                                             size)
+    O = org_p[y0:y0 + size, x0:x0 + size].astype(np.int32)
+    Y = X + _clpf_delta_v(X, A, B, C, D, E, F, G, H, strength, dmp)
+    s0 = np.uint32(((O - X) ** 2).astype(np.int64).sum() & 0xFFFFFFFF)
+    s1 = np.uint32(((O - Y) ** 2).astype(np.int64).sum() & 0xFFFFFFFF)
+    return int(s0) >> (shift * 2), int(s1) >> (shift * 2)
+
+
+def detect_multi_clpf(rec_p, org_p, x0, y0, width, height, shift, size, dmp):
+    """enc/encode_block.c:2593-2624. Returns [s0,s1,s2,s3] shifted."""
+    X, A, B, C, D, E, F, G, H = _gather_clpf(rec_p, x0, y0, width, height,
+                                             size)
+    O = org_p[y0:y0 + size, x0:x0 + size].astype(np.int32)
+    out = []
+    F1 = X + _clpf_delta_v(X, A, B, C, D, E, F, G, H, 1 << shift, dmp)
+    F2 = X + _clpf_delta_v(X, A, B, C, D, E, F, G, H, 2 << shift, dmp)
+    F3 = X + _clpf_delta_v(X, A, B, C, D, E, F, G, H, 4 << shift, dmp)
+    for V in (X, F1, F2, F3):
+        s = int(((O - V) ** 2).astype(np.int64).sum() & 0xFFFFFFFF)
+        out.append(s >> (shift * 2))
+    return out
+
+
+def clpf_rdo(y, x, rec, org, dd, block_size, fb_size_log2, w, h, res,
+             bitdepth, plane, qp):
+    """enc/encode_frame.c:523-586 (recursive)."""
+    filtered = 0
+    bslog = log2i(block_size)
+    damping = bitdepth - 4 - (plane != 0) + (qp >> 4)
+    sums = [0, 0, 0, 0]
+
+    if plane == 0 and fb_size_log2 > log2i(128) - 3:
+        fb_size_log2 -= 1
+        w1 = min(1 << (fb_size_log2 - bslog), w)
+        h1 = min(1 << (fb_size_log2 - bslog), h)
+        w2 = min(w - (1 << (fb_size_log2 - bslog)), w >> 1)
+        h2 = min(h - (1 << (fb_size_log2 - bslog)), h >> 1)
+        i = log2i(128) - fb_size_log2
+        sum1, sum2, sum3 = res[i][1], res[i][2], res[i][3]
+        oldfiltered = res[i][0]
+        res[i][0] = 0
+        filtered = clpf_rdo(y, x, rec, org, dd, block_size, fb_size_log2,
+                            w1, h1, res, bitdepth, plane, qp)
+        if 1 << (fb_size_log2 - bslog) < w:
+            filtered |= clpf_rdo(y, x + (1 << fb_size_log2), rec, org, dd,
+                                 block_size, fb_size_log2, w2, h1, res,
+                                 bitdepth, plane, qp)
+        if 1 << (fb_size_log2 - bslog) < h:
+            filtered |= clpf_rdo(y + (1 << fb_size_log2), x, rec, org, dd,
+                                 block_size, fb_size_log2, w1, h2, res,
+                                 bitdepth, plane, qp)
+            filtered |= clpf_rdo(y + (1 << fb_size_log2),
+                                 x + (1 << fb_size_log2), rec, org, dd,
+                                 block_size, fb_size_log2, w2, h2, res,
+                                 bitdepth, plane, qp)
+        res[i][1] = min(sum1 + res[i][0], res[i][1])
+        res[i][2] = min(sum2 + res[i][0], res[i][2])
+        res[i][3] = min(sum3 + res[i][0], res[i][3])
+        res[i][0] = oldfiltered + filtered
+        return filtered
+
+    rec_p = rec.y if plane == 0 else (rec.u if plane == 1 else rec.v)
+    org_p = org.y if plane == 0 else (org.u if plane == 1 else org.v)
+    rec_width = rec.width >> rec.sub if plane else rec.width
+    rec_height = rec.height >> rec.sub if plane else rec.height
+
+    for m in range(h):
+        for n in range(w):
+            xpos = x + n * block_size
+            ypos = y + m * block_size
+            sub = rec.sub if plane else 0
+            idx = (((ypos << sub) // MIN_PB_SIZE) * (rec.width //
+                                                     MIN_PB_SIZE) +
+                   ((xpos << sub) // MIN_PB_SIZE))
+            if dd.mode[idx] != 0:
+                s = detect_multi_clpf(rec_p, org_p, xpos, ypos, rec_width,
+                                      rec_height, bitdepth - 8, block_size,
+                                      damping)
+                for i2 in range(4):
+                    sums[i2] += s[i2]
+                filtered = 1
+    for i2 in range(4 if plane == 0 else 1):
+        for j2 in range(4):
+            res[i2][j2] += sums[j2]
+    return filtered
+
+
+def clpf_test_frame(rec, org, dd, fi, bitdepth, plane, max_clpf_strength):
+    """enc/encode_frame.c:588-635. Returns (best_strength, best_bs|None)."""
+    sums = [[0] * 4 for _ in range(4)]
+    width = rec.width >> rec.sub if plane else rec.width
+    height = rec.height >> rec.sub if plane else rec.height
+    bs = 8
+    fb_size_log2 = log2i(128)
+    if plane != 0:
+        clpf_rdo(0, 0, rec, org, dd, bs, fb_size_log2, width // bs,
+                 height // bs, sums, bitdepth, plane, fi.qp)
+    else:
+        for k in range((height + (1 << fb_size_log2) - bs) >> fb_size_log2):
+            for l in range((width + (1 << fb_size_log2) - bs) >>
+                           fb_size_log2):
+                hh = min(height, (k + 1) << fb_size_log2) & \
+                    ((1 << fb_size_log2) - 1)
+                ww = min(width, (l + 1) << fb_size_log2) & \
+                    ((1 << fb_size_log2) - 1)
+                hh += (not hh) << fb_size_log2
+                ww += (not ww) << fb_size_log2
+                clpf_rdo(k << fb_size_log2, l << fb_size_log2, rec, org, dd,
+                         bs, fb_size_log2, ww // bs, hh // bs, sums,
+                         bitdepth, plane, fi.qp)
+    for j in range(4):
+        cost = int(fi.lambda_ * sums[j][0] + 6)
+        if plane != 0:
+            sums[j][2] += sums[j][2] >> 7
+            sums[j][3] += sums[j][3] >> 7
+        for i in range(4):
+            i_max = min(max_clpf_strength, 3)
+            if i > i_max:
+                sums[j][i] = 1 << 30
+            sums[j][i] = ((sums[j][i] + (int(bool(i)) * int(bool(j))) * cost)
+                          << 4) + j * 4 + i
+    best = 1 << 62
+    for j in range(4 if plane == 0 else 1):
+        for i in range(4):
+            if (i or not j) and sums[j][i] < best:
+                best = sums[j][i]
+    best &= 15
+    best_bs = (int(best > 3)) * (5 + int(best < 12) + int(best < 8))
+    best_strength = (1 << ((best - 1) & 3)) if best else 0
+    return best_strength, best_bs
+
+
+def clpf_decision(k, l, rec, org, dd, block_size, w, h, writer, strength,
+                  fb_size_log2, shift, size, qp):
+    """enc/encode_frame.c:492-511 (per-fb luma decision, writes 1 bit)."""
+    sum0 = sum1 = 0
+    damping = shift + 4 + (qp >> 4)
+    for m in range(h):
+        for n in range(w):
+            xpos = (l << fb_size_log2) + n * block_size
+            ypos = (k << fb_size_log2) + m * block_size
+            idx = ((ypos // MIN_PB_SIZE) * (rec.width // MIN_PB_SIZE) +
+                   (xpos // MIN_PB_SIZE))
+            if dd.mode[idx] != 0:
+                s0, s1 = detect_clpf(rec.y, org.y, xpos, ypos, rec.width,
+                                     rec.height, strength, shift, size,
+                                     damping)
+                sum0 += s0
+                sum1 += s1
+    writer.put_flc(1, int(sum1 < sum0))
+    return int(sum1 < sum0)

@@ -42,10 +42,15 @@ def transform_fwd(block: np.ndarray, size: int, fast: bool, bitdepth: int) -> np
     add_1 = 1 << (shift_1 - 1)
     shift_2 = log2i(size1) + 5
     add_2 = 1 << (shift_2 - 1)
-    # stage 1 (horizontal): tmp[i][j] = sum_k T[i,k]*in[j,k], int16 on store
-    tmp = _i16((T[:qsize] @ inb.T + add_1) >> shift_1).astype(np.int32)
+    # Stage stores SATURATE to int16 (the SIMD pack, common_kernels.c
+    # transform4/8/16/32 v64_pack_s32_s16), unlike the plain-C path which
+    # wraps; the reference binary always runs the SIMD path on x86, so the
+    # saturating variant is normative.
+    # stage 1 (horizontal): tmp[i][j] = sum_k T[i,k]*in[j,k]
+    tmp = np.clip((T[:qsize] @ inb.T + add_1) >> shift_1, -32768, 32767)
     # stage 2 (vertical): coeff[i][j] = sum_k T[i,k]*tmp[j,k]
-    coeff = _i16((T[:qsize] @ tmp.T + add_2) >> shift_2)
+    coeff = np.clip((T[:qsize] @ tmp.T + add_2) >> shift_2,
+                    -32768, 32767).astype(np.int16)
     return coeff
 
 

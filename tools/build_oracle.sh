@@ -17,5 +17,6 @@ cc -std=c99 -O3 -fcommon -fPIC -shared -I common -I enc -I dec -msse4 \
   common/simd.c common/common_block.c common/common_block_hbd.c \
   common/common_frame.c common/common_frame_hbd.c common/temporal_interp.c \
   common/temporal_interp_hbd.c common/wt_matrix.c common/snr.c common/snr_hbd.c \
+  enc/enc_kernels.c enc/enc_kernels_hbd.c \
   -lm -o /tmp/liboracle.so
 echo built /tmp/liboracle.so
