@@ -8,7 +8,7 @@ import os
 import pytest
 
 from thor_tpu.enc import parse_config_file, encode_sequence
-from .conftest import make_tiny64, make_noise_cif, make_smooth_cif
+from conftest import make_tiny64, make_noise_cif, make_smooth_cif
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 LDB_LC = "/root/reference/config_LDB_low_complexity.txt"
