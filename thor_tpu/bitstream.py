@@ -18,14 +18,19 @@ def log2i(n: int) -> int:
 class BitWriter:
     """MSB-first bit accumulator (reference enc/putbits.c).
 
-    Supports position save/rewind which the encoder RDO uses as a trial
-    scratchpad (enc/putbits.c:126-150).
+    Supports position save/rewind, which the encoder RDO uses as a trial
+    scratchpad (enc/putbits.c:126-150).  Like the C stream buffer, the
+    backing store persists across rewinds: moving backward only moves the
+    write position, later writes overwrite in place, and moving forward
+    again re-exposes the bytes in between (the CDEF header rewrite depends
+    on this).
     """
 
-    __slots__ = ("buf", "bitbuf", "bitrest")
+    __slots__ = ("buf", "bytepos", "bitbuf", "bitrest")
 
     def __init__(self):
         self.buf = bytearray()
+        self.bytepos = 0     # current write position in buf
         self.bitbuf = 0      # up to 32 pending bits, left-aligned
         self.bitrest = 32    # free bits in bitbuf
 
@@ -43,41 +48,51 @@ class BitWriter:
         return n
 
     def _flush_word(self):
-        self.buf += self.bitbuf.to_bytes(4, "big")
+        end = self.bytepos + 4
+        if len(self.buf) < end:
+            self.buf.extend(b"\0" * (end - len(self.buf)))
+        self.buf[self.bytepos:end] = self.bitbuf.to_bytes(4, "big")
+        self.bytepos = end
         self.bitbuf = 0
         self.bitrest = 32
 
     def get_bit_pos(self) -> int:
-        return 8 * len(self.buf) + (32 - self.bitrest)
+        return 8 * self.bytepos + (32 - self.bitrest)
 
     # --- stream position save/rewind (RDO scratchpad) ---
     def save_pos(self):
-        return (len(self.buf), self.bitbuf, self.bitrest)
+        return (self.bytepos, self.bitbuf, self.bitrest)
 
     def restore_pos(self, pos):
         bytepos, bitbuf, bitrest = pos
-        if bytepos > len(self.buf):
-            # moving forward: flush pending bits, keeping bits already in buf
+        if bytepos > self.bytepos:
+            # moving forward: merge pending bits with the bits already in
+            # the buffer at the current position, then flush
             # (reference write_stream_pos, enc/putbits.c:130-144)
-            tmp = int.from_bytes(self.buf[len(self.buf):len(self.buf) + 4].ljust(4, b"\0"), "big")
+            chunk = bytes(self.buf[self.bytepos:self.bytepos + 4])
+            tmp = int.from_bytes(chunk.ljust(4, b"\0"), "big")
             tmp &= (1 << self.bitrest) - 1
             self.putbits(self.bitrest, tmp)
-            self._flush_word()
-        del self.buf[bytepos:]
+            if self.bitrest != 32:
+                self._flush_word()
+        self.bytepos = bytepos
         self.bitbuf = bitbuf
         self.bitrest = bitrest
 
     def flush_frame(self) -> bytes:
         """Byte-align pending bits and return the framed unit
-        (4-byte BE length + payload), resetting for the next frame."""
+        (4-byte BE length + payload), resetting the position (the backing
+        store persists, mirroring the C buffer reuse)."""
         nbytes = 4 - self.bitrest // 8
-        frame_bytes = len(self.buf) + nbytes
-        out = frame_bytes.to_bytes(4, "big") + bytes(self.buf)
-        tail = bytes((self.bitbuf >> (24 - 8 * i)) & 0xFF for i in range(nbytes))
-        self.buf = bytearray()
+        frame_bytes = self.bytepos + nbytes
+        tail = bytes((self.bitbuf >> (24 - 8 * i)) & 0xFF
+                     for i in range(nbytes))
+        out = (frame_bytes.to_bytes(4, "big") +
+               bytes(self.buf[:self.bytepos]) + tail)
+        self.bytepos = 0
         self.bitbuf = 0
         self.bitrest = 32
-        return out + tail
+        return out
 
     # --- VLC family (reference enc/putvlc.c:73) ---
     def put_vlc(self, n: int, cn: int) -> int:

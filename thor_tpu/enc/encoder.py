@@ -675,7 +675,8 @@ class Encoder:
                 if worst_cost and worst_cost * 3 > best_cost * 4:
                     fi.best_ref = 0
                 if fi.num_ref > 1 and p.enable_bipred and do_inter:
-                    self._bipred_rdo(bi, mv_center, bi.mvp, lam)
+                    min_cost = self._bipred_rdo(bi, mv_center, bi.mvp, lam,
+                                                min_cost)
 
             # intra
             if do_intra:
@@ -784,8 +785,116 @@ class Encoder:
                 mvp2 = mvs[0]
         return sad_total, mvs
 
-    def _bipred_rdo(self, bi, mv_center, mvp, lam):
-        raise NotImplementedError("bipred encoder path (next round slice)")
+    def _bipred_rdo(self, bi, mv_center, mvp, lam, min_cost):
+        """MODE_BIPRED evaluation (enc/encode_block.c:2021-2069).
+        Returns the updated min_cost."""
+        p = self.params
+        num_bi_part = 1  # BIPRED_PART == 0
+        for part in range(num_bi_part):
+            r0, r1, mv0, mv1 = self._search_bipred(bi, part, mv_center, mvp,
+                                                   0)
+            for tb_param in range(0, bi.max_num_tb_part):
+                bp = {"mode": MODE_BIPRED, "tb_param": tb_param,
+                      "pb_part": part, "ref_idx0": r0, "ref_idx1": r1,
+                      "mv_arr0": list(mv0), "mv_arr1": list(mv1),
+                      "dir": 2, "skip_idx": 0}
+                nbits = self.encode_block(bi, bp)
+                cost = self.cost_calc(bi, nbits)
+                if cost < min_cost:
+                    min_cost = cost
+                    self._copy_best(bi, bp)
+        if self.fi.frame_type == B_FRAME and p.encoder_speed == 0:
+            r0, r1, mv0, mv1 = self._search_bipred(bi, num_bi_part,
+                                                   mv_center, mvp, 1)
+            bp = {"mode": MODE_BIPRED, "tb_param": 0, "pb_part": 0,
+                  "ref_idx0": r0, "ref_idx1": r1, "mv_arr0": list(mv0),
+                  "mv_arr1": list(mv1), "dir": 2, "skip_idx": 0}
+            nbits = self.encode_block(bi, bp)
+            cost = self.cost_calc(bi, nbits)
+            if cost < min_cost:
+                min_cost = cost
+                self._copy_best(bi, bp)
+        return min_cost
+
+    def _search_bipred(self, bi: BlockInfo, part, mv_center, mvp, me_mode):
+        """search_bipred_prediction_params (enc/encode_block.c:1679-1833)."""
+        p = self.params
+        fi = self.fi
+        size = bi.size
+        lam = bi.lambda_
+        sqrt_lam = math.sqrt(lam)
+        if me_mode:
+            r_idx0 = 1 if fi.interp_ref else 0
+            r_idx1 = 2 if fi.interp_ref else 1
+            ref0 = self._ref_frame(fi.ref_array[r_idx0])
+            ref1 = self._ref_frame(fi.ref_array[r_idx1])
+            ncand = [len(fi.mvcand[r_idx0])]
+            sad, mv = ME.motion_estimate_bi(
+                bi.org_y, ref0, ref1, bi.ypos, bi.xpos, size, size, size,
+                mv_center[r_idx0], mvp, sqrt_lam, p, 0, self.width,
+                self.height, fi.mvcand[r_idx0], ncand, 1, p.bitdepth)
+            # the C writes mvcand[4]/[5] in-place; mirror list growth
+            return r_idx0, r_idx1, [mv] * 4, [mv] * 4
+
+        num_iter = 2 if p.encoder_speed == 0 else 1
+        if fi.frame_type == B_FRAME and fi.interp_ref > 0:
+            ridx = 1
+        else:
+            ridx = 0
+        min_ref_idx0 = ridx
+        min_ref_idx1 = 0
+        min_mv0 = [mvp] * 4
+        min_mv1 = [mvp] * 4
+        min_sad = 1 << 30
+        bd = p.bitdepth
+        hi = (1 << bd) - 1
+        for n in range(num_iter):
+            stop = 0 if part == 0 else 1
+            for lst in range(1, stop - 1, -1):
+                mv = min_mv0[0] if lst else min_mv1[0]
+                ref_idx = min_ref_idx0 if lst else min_ref_idx1
+                r = fi.ref_array[ref_idx]
+                ref = self._ref_frame(r)
+                sign = int(ref.frame_num > self.rec.frame_num)
+                pred = inter.get_inter_prediction_yuv(
+                    ref, min_mv0 if lst else min_mv1, bi.ypos, bi.xpos,
+                    size, size, size, sign, self.width, self.height,
+                    p.enable_bipred, int(part > 0), bd)[0]
+                org8 = np.clip(2 * bi.org_y.astype(np.int16) -
+                               pred.astype(np.int16), 0, hi).astype(np.int32)
+                if fi.frame_type == P_FRAME:
+                    ref_start, ref_end = 0, fi.num_ref - 1
+                else:
+                    ref_start = ref_end = (1 if lst else 0)
+                    if fi.interp_ref:
+                        ref_start += 1
+                        ref_end += 1
+                for ref_idx in range(ref_start, ref_end + 1):
+                    r = fi.ref_array[ref_idx]
+                    ref = self._ref_frame(r)
+                    sign = int(ref.frame_num > self.rec.frame_num)
+                    mvp2 = mv if (fi.frame_type == B_FRAME and lst == 1) \
+                        else mvp
+                    mvc = mv_center[ref_idx]
+                    saved_org = bi.org_y
+                    bi.org_y = org8
+                    try:
+                        sad, mvs = self._search_inter(bi, ref, mvc, mvp2,
+                                                      part, lam, sign,
+                                                      ref_idx)
+                    finally:
+                        bi.org_y = saved_org
+                    for i in range(4):
+                        self._add_mvcand(ref_idx, mvs[i])
+                    if sad < min_sad:
+                        min_sad = sad
+                        if lst:
+                            min_ref_idx1 = ref_idx
+                            min_mv1 = list(mvs)
+                        else:
+                            min_ref_idx0 = ref_idx
+                            min_mv0 = list(mvs)
+        return min_ref_idx0, min_ref_idx1, min_mv0, min_mv1
 
     # ---------- early skip ----------
 

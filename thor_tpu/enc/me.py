@@ -416,3 +416,74 @@ def motion_estimate(org: np.ndarray, ref_frame, ypos, xpos, size,
 
     mv_opt = (mv_opt[0] + ydelta_qp, mv_opt[1] + xdelta_qp)
     return min(cmin, min_sad), mv_opt
+
+
+def motion_estimate_bi(org, ref0, ref1, ypos, xpos, size, width, height,
+                       mvc, mvp, lam, params, sign, fwidth, fheight,
+                       mvcand, mvcand_num, enable_bipred, bitdepth):
+    """Simultaneous bipred ME with mv0=-mv1 (enc/encode_block.c:798-913)."""
+    rv0 = RefView(ref0, ypos, xpos)
+    rv1 = RefView(ref1, ypos, xpos)
+    min_sad = MAX_UINT32
+    mv_opt = (0, 0)
+    mv_ref = ((((mvc[0]) + 2) >> 2) << 2, (((mvc[1]) + 2) >> 2) << 2)
+
+    def bi_sad(mv_cand):
+        m0 = clip_mv(mv_cand[0], mv_cand[1], ypos, xpos, fwidth, fheight,
+                     size, size, sign)
+        p0 = mc_luma(ref0.y_full, ref0.pad, ypos, xpos, width, height,
+                     m0[0], m0[1], sign, enable_bipred, fwidth, fheight,
+                     bitdepth)
+        # C clips in place: the second clip operates on the first's output
+        m1 = clip_mv(m0[0], m0[1], ypos, xpos, fwidth, fheight,
+                     size, size, 1 - sign)
+        p1 = mc_luma(ref1.y_full, ref1.pad, ypos, xpos, width, height,
+                     m1[0], m1[1], 1 - sign, enable_bipred, fwidth, fheight,
+                     bitdepth)
+        rf = (p0 + p1) >> 1
+        # NB: after the two clip_mv calls the C cost uses the second clip's
+        # result (mv_cand mutated in place)
+        return sad_calc(org, rf) >> (bitdepth - 8), m1
+
+    step = 32
+    while step > 0:
+        rng = step
+        for k in range(-rng, rng + 1, step):
+            for l in range(-rng, rng + 1, step):
+                if step < 32 and k == 0 and l == 0:
+                    continue
+                if step == 1:
+                    vf, hf = mv_ref[0] & 3, mv_ref[1] & 3
+                    if vf == 0 and hf == 0:
+                        if abs(k) != abs(l):
+                            continue
+                    elif vf == 2 and hf == 2:
+                        continue
+                    else:
+                        if abs(k) == abs(l):
+                            continue
+                mv_cand = (mv_ref[0] + k, mv_ref[1] + l)
+                sad, mc_final = bi_sad(mv_cand)
+                sad += int(lam * quote_mv_bits(mc_final[0] - mvp[0],
+                                               mc_final[1] - mvp[1]) + 0.5)
+                if sad < min_sad:
+                    min_sad = sad
+                    mv_opt = mc_final
+        mv_ref = mv_opt
+        step >>= 1
+
+    cands = list(mvcand[:4]) + [(0, 0)] * max(0, 4 - len(mvcand))
+    cands = cands[:4]
+    cands.append(((mvp[0]), (mvp[1])))
+    cands.append((0, 0))
+    for idx in range(6):
+        mv_cand = cands[idx]
+        if idx < 4:
+            mv_cand = (int(mv_cand[0]), int(mv_cand[1]))
+        sad, mc_final = bi_sad(mv_cand)
+        sad += int(lam * quote_mv_bits(mc_final[0] - mvp[0],
+                                       mc_final[1] - mvp[1]) + 0.5)
+        if sad < min_sad:
+            min_sad = sad
+            mv_opt = mc_final
+    return min_sad, mv_opt
