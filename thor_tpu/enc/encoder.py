@@ -986,19 +986,31 @@ class Encoder:
         return bool((np.abs(coeff.astype(np.int32)) > threshold).any())
 
     def _early_skip_chroma(self, orig, pred, size, qp, thr):
-        """check_early_skip_sub_blockC + calc_cbp (enc/encode_block.c:2182)."""
+        """check_early_skip_sub_blockC + calc_cbp_simd
+        (enc/encode_block.c:2214, enc/enc_kernels.c:828).
+
+        The SIMD kernel is normative: column sums wrap in int16 lanes; for
+        size 4 the test is (c1 + |c0| > thr) || (c3 + |c2| > thr) with
+        SIGNED c1/c3 and no final abs - quite different from the scalar
+        calc_cbp fallback."""
         p = self.params
         scale = int(GQUANT[qp % 6])
         shift2 = 21 - 5 + qp // 6
         fql = float(1 << shift2) / float(scale)
         threshold = int(thr * fql) << (p.bitdepth - 8)
-        block = orig.astype(np.int32) - pred.astype(np.int32)
-        if size == 16 or size == 8:
-            sums = block.sum(axis=0)
-            return bool((np.abs(sums) > threshold).any())
-        s = block[:, 0::2] + block[:, 1::2]
-        sums = s.sum(axis=0)
-        return bool((np.abs(sums) > threshold).any())
+        block = (orig.astype(np.int16) - pred.astype(np.int16))
+        cols = block.astype(np.int16)
+        sums = np.zeros(size, np.int16)
+        for i in range(size):
+            sums = (sums + cols[i]).astype(np.int16)
+        if size in (8, 16):
+            absd = np.abs(sums.astype(np.int32)).astype(np.int16)
+            return bool((absd > threshold).any())
+        c0, c1, c2, c3 = (int(sums[0]), int(sums[1]), int(sums[2]),
+                          int(sums[3]))
+        a0 = int(np.abs(np.int16(c0)).astype(np.int16))
+        a2 = int(np.abs(np.int16(c2)).astype(np.int16))
+        return (c1 + a0 > threshold) or (c3 + a2 > threshold)
 
     def _search_early_skip(self, bi: BlockInfo):
         """search_early_skip_candidates (enc/encode_block.c:2352-2392)."""
@@ -1409,7 +1421,119 @@ def encode_sequence(params: EncParams, yuv: bytes, progress=None):
 
             if fi.num_ref > 0:
                 if p.num_reorder_pics > 0:
-                    raise NotImplementedError("B-frame encoder (next slice)")
+                    min_interp_depth = log2i(p.num_reorder_pics + 1) - 3
+                    if p.frame_rate > 30:
+                        min_interp_depth -= 1
+                    if p.dyadic_coding:
+                        if (num_encoded - 1) % sub_gop == 0:
+                            fi.ref_array[0] = (0 if num_encoded == 1
+                                               else sub_gop - 1)
+                            if fi.num_ref > 1:
+                                fi.ref_array[1] = min(
+                                    MAX_REF_FRAMES - 1,
+                                    min(num_encoded - 1, 2 * sub_gop - 1))
+                            for r in range(2, fi.num_ref):
+                                fi.ref_array[r] = r - 2
+                        elif fi.num_ref > 0:
+                            display_phase = (fi.frame_num - 1) % sub_gop
+                            ref_offset = sub_gop >> (fi.b_level + 1)
+                            dcm = DC[sub_gop]
+                            if (fi.b_level >= min_interp_depth and
+                                    p.interp_ref == 1):
+                                if fi.num_ref == 2:
+                                    fi.num_ref += 1
+                                    fi.ref_array.append(0)
+                                fi.interp_ref = p.interp_ref
+                                fi.ref_array[1] = min(
+                                    num_encoded - 1,
+                                    coded_phase -
+                                    dcm[display_phase - ref_offset + 1] - 1)
+                                fi.ref_array[2] = min(
+                                    num_encoded - 1,
+                                    coded_phase -
+                                    dcm[display_phase + ref_offset + 1] - 1)
+                                fi.ref_array[0] = -1
+                                from ..spec.tempinterp import \
+                                    interpolate_frames
+                                ref1 = enc.ref[fi.ref_array[1]]
+                                ref2 = enc.ref[fi.ref_array[2]]
+                                interpolate_frames(enc.interp_frames[0],
+                                                   ref1, ref2, 2, 1)
+                                enc.interp_frames[0].pad_frame()
+                                enc.interp_frames[0].frame_num = fi.frame_num
+                                for r in range(3, fi.num_ref):
+                                    fi.ref_array[r] = r - 3
+                            else:
+                                fi.ref_array[0] = min(
+                                    num_encoded - 1,
+                                    coded_phase -
+                                    dcm[display_phase - ref_offset + 1] - 1)
+                                fi.ref_array[1] = min(
+                                    num_encoded - 1,
+                                    coded_phase -
+                                    dcm[display_phase + ref_offset + 1] - 1)
+                                for r in range(2, fi.num_ref):
+                                    fi.ref_array[r] = r - 2
+                    else:
+                        if (num_encoded - 1) % sub_gop == 0:
+                            fi.ref_array[0] = (0 if num_encoded == 1
+                                               else sub_gop - 1)
+                            if fi.num_ref > 1:
+                                fi.ref_array[1] = min(
+                                    MAX_REF_FRAMES - 1,
+                                    min(num_encoded - 1, 2 * sub_gop - 1))
+                            for r in range(2, fi.num_ref):
+                                fi.ref_array[r] = r - 1
+                        else:
+                            phase = (num_encoded + sub_gop - 2) % sub_gop
+                            if p.interp_ref == 1:
+                                if fi.num_ref == 2:
+                                    fi.num_ref += 1
+                                    fi.ref_array.append(0)
+                                fi.interp_ref = p.interp_ref
+                                if fi.num_ref > 0:
+                                    fi.ref_array[1] = 0
+                                if fi.num_ref > 1:
+                                    fi.ref_array[2] = (
+                                        min(sub_gop, num_encoded - 1)
+                                        if phase == 0 else
+                                        min(phase, num_encoded - 1))
+                                fi.ref_array[0] = -1
+                                from ..spec.tempinterp import \
+                                    interpolate_frames
+                                ref1 = enc.ref[fi.ref_array[1]]
+                                ref2 = enc.ref[fi.ref_array[2]]
+                                interpolate_frames(
+                                    enc.interp_frames[0], ref1, ref2,
+                                    sub_gop - phase,
+                                    1 if phase != 0 else sub_gop - phase - 1)
+                                enc.interp_frames[0].pad_frame()
+                                enc.interp_frames[0].frame_num = fi.frame_num
+                                if fi.num_ref > 2:
+                                    fi.ref_array[3] = min(
+                                        phase + sub_gop if phase
+                                        else 2 * sub_gop, num_encoded - 1)
+                                for r in range(4, fi.num_ref):
+                                    fi.ref_array[r] = r - 4 + 1
+                            else:
+                                if fi.num_ref > 0:
+                                    fi.ref_array[0] = 0
+                                if fi.num_ref > 1:
+                                    fi.ref_array[1] = (
+                                        min(sub_gop, num_encoded - 1)
+                                        if phase == 0 else
+                                        min(phase, num_encoded - 1))
+                                if fi.num_ref > 2:
+                                    fi.ref_array[2] = min(
+                                        phase + sub_gop if phase
+                                        else 2 * sub_gop, num_encoded - 1)
+                                for r in range(3, fi.num_ref):
+                                    fi.ref_array[r] = r - 3 + 1
+                    if (p.num_reorder_pics == 2 and
+                            fi.frame_type == B_FRAME and fi.b_level == 0):
+                        off = 1 if p.interp_ref == 1 else 0
+                        (fi.ref_array[0 + off], fi.ref_array[1 + off]) = (
+                            fi.ref_array[1 + off], fi.ref_array[0 + off])
                 else:
                     fi.ref_array[0] = last_PorI
                     if fi.num_ref == 2:

@@ -503,7 +503,10 @@ def clpf_decision(k, l, rec, org, dd, block_size, w, h, writer, strength,
                 s0, s1 = detect_clpf(rec.y, org.y, xpos, ypos, rec.width,
                                      rec.height, strength, shift, size,
                                      damping)
-                sum0 += s0
-                sum1 += s1
+                # the reference's detect_clpf_simd accumulates the scalar
+                # AND the vector sums (enc_kernels.c:257-262) - every call
+                # contributes twice; replicated for exactness
+                sum0 += 2 * s0
+                sum1 += 2 * s1
     writer.put_flc(1, int(sum1 < sum0))
     return int(sum1 < sum0)
