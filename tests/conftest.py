@@ -53,3 +53,36 @@ def make_smooth_cif(n=10):
 @pytest.fixture(scope="session")
 def golden_dir():
     return GOLDEN
+
+
+def make_hdb9(n=9):
+    """128x96 clip for HDB/RA/HBD encoder tests."""
+    W, H = 128, 96
+    rng = np.random.default_rng(55)
+    yy, xx = np.mgrid[0:H, 0:W]
+    fr = []
+    for t in range(n):
+        y = ((xx * 2 + yy + t * 3) % 256).astype(np.uint8)
+        y[10:50, 10 + 3 * t:60 + 3 * t] = rng.integers(
+            0, 256, (40, 50)).astype(np.uint8)
+        u = ((xx[:H // 2, :W // 2] + 2 * t) % 256).astype(np.uint8)
+        v = ((yy[:H // 2, :W // 2] * 3 - t) % 256).astype(np.uint8)
+        fr.append(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
+    return np.concatenate(fr).tobytes()
+
+
+def make_small256(n=17):
+    W, H = 256, 192
+    rng = np.random.default_rng(77)
+    yy, xx = np.mgrid[0:H, 0:W]
+    fr = []
+    for t in range(n):
+        y = ((xx * 2 + yy + t * 5) % 256).astype(np.uint8)
+        y[10:80, 20 + 4 * t:120 + 4 * t] = rng.integers(
+            0, 256, (70, 100)).astype(np.uint8)
+        y[100:180, 30:200] = ((xx[:80, :170] * 3 + yy[:80, :170] + t * 9)
+                              % 256).astype(np.uint8)
+        u = ((xx[:H // 2, :W // 2] + 2 * t) % 256).astype(np.uint8)
+        v = ((yy[:H // 2, :W // 2] * 3 - t) % 256).astype(np.uint8)
+        fr.append(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
+    return np.concatenate(fr).tobytes()

@@ -41,3 +41,41 @@ def test_encode_smooth_cif_ldb_low_complexity():
 @pytest.mark.slow
 def test_encode_noise_cif_ldb_low_complexity():
     _check("noise_cif_ldblc", make_noise_cif(4), 352, 288, 4)
+
+
+from conftest import make_hdb9, make_small256
+
+
+def _cfgname(name):
+    p = f"/root/reference/config_{name}.txt"
+    return p if os.path.exists(p) else os.path.join(GOLDEN,
+                                                    f"config_{name}.txt")
+
+
+def test_encode_hdb_bframes():
+    _check("hdb9_128", make_hdb9(9), 128, 96, 9,
+           cfg=_cfgname("HDB_low_complexity"))
+
+
+def test_encode_hbd_10bit():
+    _check("hbd6_128", make_hdb9(9), 128, 96, 6, bitdepth=10)
+
+
+def test_encode_max_delta_qp():
+    _check("tiny64_dqp", make_tiny64(6), 64, 64, 4, max_delta_qp=1)
+
+
+def test_encode_rate_control():
+    _check("tiny64_rc", make_tiny64(6), 64, 64, 6, bitrate=200000)
+
+
+@pytest.mark.veryslow
+def test_encode_ldb_high_efficiency():
+    _check("he2_256", make_small256(2), 256, 192, 2,
+           cfg=_cfgname("LDB_high_efficiency"))
+
+
+@pytest.mark.veryslow
+def test_encode_ra_medium():
+    _check("ra9_256", make_small256(9), 256, 192, 9,
+           cfg=_cfgname("RA_medium_complexity"))

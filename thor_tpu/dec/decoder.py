@@ -137,11 +137,36 @@ def read_mv(s: BitReader, mvp):
     return (mvp[0] + dy, mvp[1] + dx)
 
 
+_NATIVE = None
+
+
+def _native_lib():
+    global _NATIVE
+    if _NATIVE is None:
+        from .._native import get_lib
+        _NATIVE = (get_lib(),)
+    return _NATIVE[0]
+
+
 def read_coeff(s: BitReader, size: int, ctype: int) -> np.ndarray:
     """Zigzag run/level coefficient decode (dec/read_bits.c:142-241).
     Returns (size,size) int16 (only top-left qsize x qsize populated)."""
     qsize = min(size, MAX_QUANT_SIZE)
     N = qsize * qsize
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+        from .._native import BrStruct
+        br = BrStruct(s.data, len(s.data), s.bitpos)
+        sco = np.zeros(N, np.int16)
+        lib.read_coeff_scan(ctypes.byref(br),
+                            sco.ctypes.data_as(ctypes.c_void_p), qsize,
+                            ctype)
+        s.bitcnt += br.bitpos - s.bitpos
+        s.bitpos = br.bitpos
+        out = np.zeros((size, size), np.int16)
+        out[:qsize, :qsize] = sco[ZIGZAG[qsize]].reshape(qsize, qsize)
+        return out
     scoeff = np.zeros(N, np.int16)
     chroma_flag = ctype & 1
     intra_flag = (ctype >> 1) & 1

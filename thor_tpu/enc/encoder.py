@@ -140,6 +140,13 @@ class Encoder:
         self.cdef_header_pos = None
         self.cdef_sel = {}
         self.cdef_dirs = {}
+        self.rc = None
+        if p.bitrate > 0:
+            from .rc import RateControl
+            sb = 1 << p.log2_sb_size
+            num_sb = (((p.width + sb - 1) // sb) *
+                      ((p.height + sb - 1) // sb))
+            self.rc = RateControl(int(p.bitrate / p.frame_rate), num_sb)
         self.wmatrix = self.iwmatrix = None
         if p.qmtx:
             from ..qmtx import get_wmatrices, get_iwmatrices
@@ -763,7 +770,7 @@ class Encoder:
                 sad, mv = ME.motion_estimate(
                     bi.org_y[:, px * (size // 2):px * (size // 2) +
                              size // 2],
-                    ref, bi.ypos, bi.xpos, size // 2, size, size, mvc, mvp2,
+                    ref, bi.ypos, bi.xpos, size, size // 2, size, mvc, mvp2,
                     sqrt_lam, p, sign, self.width, self.height, mvcand,
                     ncand, p.enable_bipred, p.bitdepth,
                     base_off=(0, px * (size // 2)))
@@ -776,7 +783,7 @@ class Encoder:
                 sad, mv = ME.motion_estimate(
                     bi.org_y[py * (size // 2):py * (size // 2) + size // 2,
                              px * (size // 2):px * (size // 2) + size // 2],
-                    ref, bi.ypos, bi.xpos, size // 2, size // 2, size // 2,
+                    ref, bi.ypos, bi.xpos, size, size // 2, size // 2,
                     mvc, mvp2, sqrt_lam, p, sign, self.width, self.height,
                     mvcand, ncand, p.enable_bipred, p.bitdepth,
                     base_off=(py * (size // 2), px * (size // 2)))
@@ -1238,14 +1245,43 @@ class Encoder:
         W.write_frame_header(w, self)
         fi.prev_qp = fi.qp
 
+        sb_idx = 0
+        if p.bitrate > 0:
+            start_bits_frame = w.get_bit_pos()
+            max_qp = p.max_qpI if fi.frame_type == I_FRAME else p.max_qp
+            min_qp = p.min_qpI if fi.frame_type == I_FRAME else p.min_qp
+            self.rc.init_frame(min_qp, max_qp)
         for k in range(nsv):
             for l in range(nsh):
                 fi.mvcand = [[] for _ in range(max(fi.num_ref, 1))]
                 fi.mvcand_mask = [0] * max(fi.num_ref, 1)
                 fi.best_ref = -1
                 if p.max_delta_qp:
-                    raise NotImplementedError("max_delta_qp RDO")
-                self.process_block(sb_size, k * sb_size, l * sb_size, qp)
+                    # RDO search over SB-level QP (encode_frame.c:708-730)
+                    min_cost = 1 << 30
+                    pos_ref = w.save_pos()
+                    best_qp = qp
+                    pqp = fi.prev_qp
+                    for qp0 in range(qp - p.max_delta_qp,
+                                     qp + p.max_delta_qp + 1,
+                                     p.delta_qp_step):
+                        cost = self.process_block(sb_size, k * sb_size,
+                                                  l * sb_size, qp0)
+                        if cost < min_cost:
+                            min_cost = cost
+                            best_qp = qp0
+                    fi.prev_qp = pqp
+                    w.restore_pos(pos_ref)
+                    self.process_block(sb_size, k * sb_size, l * sb_size,
+                                       best_qp)
+                elif p.bitrate > 0:
+                    start_bits_sb = w.get_bit_pos()
+                    self.process_block(sb_size, k * sb_size, l * sb_size, qp)
+                    nbits_sb = w.get_bit_pos() - start_bits_sb
+                    qp = self.rc.update_sb(sb_idx, nbits_sb, qp)
+                    sb_idx += 1
+                else:
+                    self.process_block(sb_size, k * sb_size, l * sb_size, qp)
 
         qp = fi.qp = fi.prev_qp
 
@@ -1297,6 +1333,9 @@ class Encoder:
                     self._clpf_apply(1, su, 4, 0, qp)
                 if sv:
                     self._clpf_apply(2, sv, 4, 0, qp)
+
+        if p.bitrate > 0:
+            self.rc.update_frame(w.get_bit_pos() - start_bits_frame)
 
         # reference sliding window
         tmp = self.ref[MAX_REF_FRAMES - 1]

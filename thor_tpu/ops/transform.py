@@ -22,11 +22,31 @@ _T = {s: jnp.asarray(np.array(t, np.int32))
       for s, t in TRANSFORM_TABLES.items()}
 
 
-def _dot(a, b):
-    """int32 matmul (exactness over speed; Pallas split-limb variant later)."""
+def _dot_int(a, b):
+    """Plain int32 matmul (XLA lowers off the MXU; kept for reference)."""
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
+
+
+def _dot(a, b):
+    """Exact int matmul via split-limb bf16 MXU matmuls.
+
+    a: int32 values in int16 range; b: int32 transform matrix (|b|<=90,
+    exact in bf16).  Split a into signed-high/unsigned-low 8-bit limbs;
+    each bf16 product is exact and the f32 accumulation of <=32 terms
+    stays below 2^24, so both partial matmuls are integer-exact.  The
+    limb recombination runs in int32 on the VPU.
+    """
+    dn = (((a.ndim - 1,), (0,)), ((), ()))
+    hi = (a >> 8).astype(jnp.bfloat16)          # [-128, 127]
+    lo = (a & 0xFF).astype(jnp.bfloat16)        # [0, 255]
+    bb = b.astype(jnp.bfloat16)
+    phi = jax.lax.dot_general(hi, bb, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+    plo = jax.lax.dot_general(lo, bb, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+    return (phi.astype(jnp.int32) << 8) + plo.astype(jnp.int32)
 
 
 def _i16(x):

@@ -34,13 +34,22 @@ def filter_121(arr: np.ndarray) -> np.ndarray:
 
 def make_top_and_left(plane: np.ndarray, cb_y: int, cb_x: int, i: int, j: int,
                       size: int, cb_upright: int, cb_downleft: int,
-                      tb_split: int, bitdepth: int):
+                      tb_split: int, bitdepth: int,
+                      rb: np.ndarray | None = None, rb_y: int = 0,
+                      rb_x: int = 0):
     """Build left[2*size], top[2*size], top_left reference samples
     (intra_prediction.c:57-183).
 
     plane: full reconstructed plane (visible area, 2D); (cb_y,cb_x) is the
     coding-block origin; (i,j) the TU offset inside it (0,0 unless tb_split).
+    rb: the partially-reconstructed block the C `rblock` pointer addresses
+    (the CB-local compact recon in the encoder, the frame itself in the
+    decoder), with the current TU at (rb_y, rb_x); defaults to the frame.
     """
+    if rb is None:
+        rb = plane
+        rb_y = cb_y + i
+        rb_x = cb_x + j
     ypos, xpos = cb_y, cb_x
     length = 2 * size
     half = 128 << (bitdepth - 8)
@@ -84,10 +93,11 @@ def make_top_and_left(plane: np.ndarray, cb_y: int, cb_x: int, i: int, j: int,
             top[toplen:] = top[toplen - 1]
             top_left = plane[cb_y - 1, cb_x + j - 1] if xpos > 0 else top[0]
         else:
-            top[:toplen] = plane[cb_y + i - 1, cb_x + j:cb_x + j + toplen]
+            # reads through the C rblock pointer (partial CB recon)
+            top[:toplen] = rb[rb_y - 1, rb_x:rb_x + toplen]
             top[toplen:] = top[toplen - 1]
             if xpos > 0:
-                top_left = (plane[cb_y + i - 1, cb_x + j - 1] if j > 0
+                top_left = (rb[rb_y - 1, rb_x - 1] if j > 0
                             else plane[cb_y + i - 1, cb_x - 1])
             else:
                 top_left = top[0]
@@ -98,7 +108,7 @@ def make_top_and_left(plane: np.ndarray, cb_y: int, cb_x: int, i: int, j: int,
             left[:leftlen] = plane[cb_y + i:cb_y + i + leftlen, cb_x - 1]
             left[leftlen:] = left[leftlen - 1]
         else:
-            left[:leftlen] = plane[cb_y + i:cb_y + i + leftlen, cb_x + j - 1]
+            left[:leftlen] = rb[rb_y:rb_y + leftlen, rb_x - 1]
             left[leftlen:] = left[leftlen - 1]
 
         if ypos + i == 0:
