@@ -86,3 +86,16 @@ def make_small256(n=17):
         v = ((yy[:H // 2, :W // 2] * 3 - t) % 256).astype(np.uint8)
         fr.append(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
     return np.concatenate(fr).tobytes()
+
+
+def make_c444(n=4):
+    W, H = 128, 96
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:H, 0:W]
+    fr = []
+    for t in range(n):
+        y = ((xx * 2 + yy + t * 3) % 256).astype(np.uint8)
+        u = ((xx + t) % 256).astype(np.uint8)
+        v = ((yy * 2 - t) % 256).astype(np.uint8)
+        fr.append(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
+    return np.concatenate(fr).tobytes()

@@ -70,3 +70,7 @@ def test_s17_hdb16_qm_he_10bit():
 @pytest.mark.slow
 def test_small256_ldb_qm_medium():
     _check("small256_LDB_qm_medium_complexity")
+
+
+def test_c444():
+    _check("c444_128")

@@ -79,3 +79,8 @@ def test_encode_ldb_high_efficiency():
 def test_encode_ra_medium():
     _check("ra9_256", make_small256(9), 256, 192, 9,
            cfg=_cfgname("RA_medium_complexity"))
+
+
+def test_encode_444():
+    from conftest import make_c444
+    _check("c444_128", make_c444(4), 128, 96, 4, subsample=444)
