@@ -74,3 +74,7 @@ def test_small256_ldb_qm_medium():
 
 def test_c444():
     _check("c444_128")
+
+
+def test_interp_ref2():
+    _check("ir2_128")

@@ -84,3 +84,8 @@ def test_encode_ra_medium():
 def test_encode_444():
     from conftest import make_c444
     _check("c444_128", make_c444(4), 128, 96, 4, subsample=444)
+
+
+def test_encode_interp_ref2():
+    _check("ir2_128", make_hdb9(9), 128, 96, 9,
+           cfg=_cfgname("HDB_low_complexity"), interp_ref=2)

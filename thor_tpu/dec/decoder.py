@@ -763,7 +763,8 @@ class Decoder:
         if mode == MODE_SKIP and bp["dir"] == 2:
             if (self.stat_frame_type == B_FRAME and h.interp_ref == 2 and
                     bp["skip_idx"] == 0):
-                return self._inter_pred_temp(size, ypos, xpos, bwidth, bheight)
+                return self._inter_pred_temp(bp, size, ypos, xpos, bwidth,
+                                             bheight)
             ref0 = self._ref_frame(fi.ref_array[bp["ref_idx0"]])
             sign0 = int(ref0.frame_num >= rec.frame_num)
             ref1 = self._ref_frame(fi.ref_array[bp["ref_idx1"]])
@@ -819,14 +820,15 @@ class Decoder:
             return tuple(inter.average_blocks(a, b) for a, b in zip(p0, p1))
         raise ValueError(mode)
 
-    def _inter_pred_temp(self, size, ypos, xpos, bwidth, bheight):
-        """get_inter_prediction_temp (inter_prediction.c:352-411)."""
+    def _inter_pred_temp(self, bp, size, ypos, xpos, bwidth, bheight):
+        """get_inter_prediction_temp (inter_prediction.c:352-411;
+        refs come from the block's ref_idx0/1, dec/decode_block.c:317-321)."""
         h = self.h
         fi = self.fi
         gop = h.num_reorder_pics + 1
         phase = fi.phase
-        ref0 = self._ref_frame(fi.ref_array[1])
-        ref1 = self._ref_frame(fi.ref_array[2])
+        ref0 = self._ref_frame(fi.ref_array[bp["ref_idx0"]])
+        ref1 = self._ref_frame(fi.ref_array[bp["ref_idx1"]])
         sub = self.sub
         py = np.zeros((size, size), np.int32)
         pu = np.zeros((size >> sub, size >> sub), np.int32)

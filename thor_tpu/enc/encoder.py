@@ -297,7 +297,69 @@ class Encoder:
             split, p.bitdepth)
 
     def _inter_pred_temp(self, bi):
-        raise NotImplementedError("interp_ref=2 encoder path")
+        """get_inter_prediction_temp for the encoder (same math as the
+        decoder's; inter_prediction.c:352-411)."""
+        p = self.params
+        fi = self.fi
+        gop = p.num_reorder_pics + 1
+        phase = fi.phase
+        ref0 = self._ref_frame(fi.ref_array[0])
+        ref1 = self._ref_frame(fi.ref_array[1])
+        sub = self.sub
+        size = bi.size
+        py = np.zeros((size, size), np.int32)
+        pu = np.zeros((size >> sub, size >> sub), np.int32)
+        pv = np.zeros((size >> sub, size >> sub), np.int32)
+        for m in range(0, bi.bheight, MIN_PB_SIZE):
+            for n in range(0, bi.bwidth, MIN_PB_SIZE):
+                k = ((bi.ypos + m) // MIN_PB_SIZE) * self.dd.bs +                     (bi.xpos + n) // MIN_PB_SIZE
+                mv = (int(self.dd.arr_mv0[k, phase, 0]),
+                      int(self.dd.arr_mv0[k, phase, 1]))
+                p0 = inter.get_inter_prediction_yuv(
+                    ref0, [mv] * 4, bi.ypos + m, bi.xpos + n, MIN_PB_SIZE,
+                    MIN_PB_SIZE, MIN_PB_SIZE, 0, self.width, self.height,
+                    2, 0, p.bitdepth)
+                mv1 = mv
+                if gop == 3 and phase == 1:
+                    mv1 = (2 * mv[0], 2 * mv[1])
+                p1 = inter.get_inter_prediction_yuv(
+                    ref1, [mv1] * 4, bi.ypos + m, bi.xpos + n, MIN_PB_SIZE,
+                    MIN_PB_SIZE, MIN_PB_SIZE, 1, self.width, self.height,
+                    2, 0, p.bitdepth)
+                avg = tuple(inter.average_blocks(a, b)
+                            for a, b in zip(p0, p1))
+                py[m:m + 4, n:n + 4] = avg[0]
+                if not self.mono:
+                    pu[m >> sub:(m >> sub) + (4 >> sub),
+                       n >> sub:(n >> sub) + (4 >> sub)] = avg[1]
+                    pv[m >> sub:(m >> sub) + (4 >> sub),
+                       n >> sub:(n >> sub) + (4 >> sub)] = avg[2]
+        return py, pu, pv
+
+    def _get_mv_skip_temp(self, bi, cands):
+        """inter_prediction.c:836-881 for the encoder."""
+        gop = self.params.num_reorder_pics + 1
+        phase = self.fi.phase
+        dd = self.dd
+        c0 = cands[0]
+        duplicate = True
+        for m in range(bi.bheight // MIN_PB_SIZE):
+            for n in range(bi.bwidth // MIN_PB_SIZE):
+                k = ((bi.ypos // MIN_PB_SIZE + m) * dd.bs +
+                     bi.xpos // MIN_PB_SIZE + n)
+                mv0 = (int(dd.arr_mv0[k, phase, 0]),
+                       int(dd.arr_mv0[k, phase, 1]))
+                mv1 = mv0
+                if gop == 3 and phase == 1:
+                    mv1 = (mv1[0] * 2, mv1[1] * 2)
+                if (mv0[0] != c0[0] or mv0[1] != c0[1] or
+                        mv1[0] != c0[2] or mv1[1] != c0[3] or
+                        c0[4] != 0 or c0[5] != 1 or c0[6] != 2):
+                    duplicate = False
+        new0 = (c0[0], c0[1], c0[2], c0[3], 0, 1, 2)
+        if not duplicate:
+            return [new0, c0]
+        return [new0]
 
     # ---------- encode_block ----------
 
@@ -905,7 +967,7 @@ class Encoder:
 
     # ---------- early skip ----------
 
-    def _check_early_skip(self, bi: BlockInfo, cand):
+    def _check_early_skip(self, bi: BlockInfo, cand, skip_idx=0):
         """check_early_skip_block (enc/encode_block.c:2231-2350)."""
         p = self.params
         size = bi.size
@@ -936,7 +998,14 @@ class Encoder:
                 if significant:
                     break
                 ypos, xpos = bi.ypos + i, bi.xpos + j
-                if cand[6] == 2:
+                if (cand[6] == 2 and self.fi.frame_type == B_FRAME and
+                        p.interp_ref == 2 and skip_idx == 0):
+                    sub_bi = BlockInfo()
+                    sub_bi.size = size0
+                    sub_bi.ypos, sub_bi.xpos = ypos, xpos
+                    sub_bi.bwidth = sub_bi.bheight = size0
+                    py, pu, pv = self._inter_pred_temp(sub_bi)
+                elif cand[6] == 2:
                     p0 = inter.get_inter_prediction_yuv(
                         refs[0], [(cand[0], cand[1])] * 4, ypos, xpos, size0,
                         size0, size0, signs[0], self.width, self.height,
@@ -1025,7 +1094,7 @@ class Encoder:
         early = 0
         for skip_idx in range(bi.num_skip_vec):
             c = bi.skip_candidates[skip_idx]
-            if self._check_early_skip(bi, c):
+            if self._check_early_skip(bi, c, skip_idx):
                 early = 1
                 bp = {"mode": MODE_SKIP, "tb_param": 0, "pb_part": 0,
                       "skip_idx": skip_idx, "ref_idx0": c[4],
@@ -1106,7 +1175,9 @@ class Encoder:
                 1 << p.log2_sb_size, self.dd)
             bi.num_skip_vec = len(bi.skip_candidates)
             if fi.frame_type == B_FRAME and p.interp_ref == 2:
-                raise NotImplementedError("interp_ref=2 encode")
+                bi.skip_candidates = self._get_mv_skip_temp(
+                    bi, bi.skip_candidates)
+                bi.num_skip_vec = len(bi.skip_candidates)
             bi.merge_candidates = inter.get_mv_merge(
                 ypos, xpos, self.width, self.height, size, size,
                 1 << p.log2_sb_size, self.dd)
@@ -1205,8 +1276,20 @@ class Encoder:
                 dd.pb_part[k] = pb_part
                 dd.size[k] = size
                 dd.mode[k] = bp["mode"]
-                dd.mv0[k] = bp["mv_arr0"][index]
-                dd.mv1[k] = bp["mv_arr1"][index]
+                if (self.fi.frame_type == B_FRAME and
+                        self.params.interp_ref == 2 and
+                        bp["mode"] == MODE_SKIP and
+                        bp.get("skip_idx", 0) == 0):
+                    phase = self.fi.phase
+                    mv = dd.arr_mv0[k, phase].copy()
+                    dd.mv0[k] = mv
+                    mv1 = mv.copy()
+                    if self.params.num_reorder_pics == 2 and phase == 1:
+                        mv1 *= 2
+                    dd.mv1[k] = mv1
+                else:
+                    dd.mv0[k] = bp["mv_arr0"][index]
+                    dd.mv1[k] = bp["mv_arr1"][index]
                 dd.ref_idx0[k] = bp["ref_idx0"]
                 dd.ref_idx1[k] = bp["ref_idx1"]
                 dd.bipred_flag[k] = bp["dir"]
@@ -1286,7 +1369,9 @@ class Encoder:
         qp = fi.qp = fi.prev_qp
 
         if p.interp_ref > 1:
-            raise NotImplementedError("interp_ref=2 store_mv")
+            from ..spec.tempinterp import store_mv
+            store_mv(self.dd, self.width, self.height, fi.b_level,
+                     fi.frame_type, fi.frame_num, p.num_reorder_pics + 1)
 
         if p.deblocking:
             filters.deblock_frame_y(self.rec.y, self.dd, self.width,

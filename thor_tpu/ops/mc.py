@@ -28,12 +28,16 @@ _CHR = jnp.asarray(np.array(COEFFS_CHROMA, np.int32))
 
 def _gather_windows(ref: jax.Array, oy: jax.Array, ox: jax.Array, wh: int,
                     ww: int):
-    """Gather [N, wh, ww] windows at (oy[n], ox[n]) from 2D ref."""
-    ii = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1)
-    ys = oy[:, None, None] + ii[None]
-    xs = ox[:, None, None] + jj[None]
-    return ref[ys, xs]
+    """Gather [N, wh, ww] windows at (oy[n], ox[n]) from 2D ref.
+
+    vmap(dynamic_slice) lowers to a gather of whole (wh,ww) slices - orders
+    of magnitude faster on TPU than elementwise advanced indexing.  Window
+    origins are always in-bounds (reference padding covers the MV range),
+    so dynamic_slice's start clamping never triggers.
+    """
+    def slice_one(y, x):
+        return jax.lax.dynamic_slice(ref, (y, x), (wh, ww))
+    return jax.vmap(slice_one)(oy, ox)
 
 
 @partial(jax.jit, static_argnames=("tile", "bitdepth", "bipred"))
