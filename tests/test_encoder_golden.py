@@ -89,3 +89,7 @@ def test_encode_444():
 def test_encode_interp_ref2():
     _check("ir2_128", make_hdb9(9), 128, 96, 9,
            cfg=_cfgname("HDB_low_complexity"), interp_ref=2)
+
+
+def test_encode_sync():
+    _check("sync4_128", make_hdb9(9), 128, 96, 4, sync=1, encoder_speed=2)

@@ -140,6 +140,9 @@ class Encoder:
         self.cdef_header_pos = None
         self.cdef_sel = {}
         self.cdef_dirs = {}
+        # persistent MV candidate arrays (the C frame_info.mvcand arrays
+        # keep stale entries across SBs/frames; sync/bi ME read fixed slots)
+        self.mvcand = [[(0, 0)] * 64 for _ in range(4)]
         self.rc = None
         if p.bitrate > 0:
             from .rc import RateControl
@@ -792,7 +795,8 @@ class Encoder:
         ix = (mv[1] + 2) >> 2
         m = 1 << (((iy << 3) ^ ix) & 63)
         if not (m & fi.mvcand_mask[ref_idx]):
-            fi.mvcand[ref_idx].append((iy, ix))
+            fi.mvcand[ref_idx][fi.mvcand_num[ref_idx]] = (iy, ix)
+            fi.mvcand_num[ref_idx] += 1
         fi.mvcand_mask[ref_idx] |= m
 
     def _search_inter(self, bi: BlockInfo, ref, mvc, mvp, part, lam, sign,
@@ -803,7 +807,7 @@ class Encoder:
         size = bi.size
         sqrt_lam = math.sqrt(lam)
         mvcand = fi.mvcand[ref_idx]
-        ncand = [len(mvcand)]
+        ncand = [fi.mvcand_num[ref_idx]]
         mvs = [None] * 4
         sad_total = 0
         mvp2 = mvp
@@ -897,7 +901,7 @@ class Encoder:
             r_idx1 = 2 if fi.interp_ref else 1
             ref0 = self._ref_frame(fi.ref_array[r_idx0])
             ref1 = self._ref_frame(fi.ref_array[r_idx1])
-            ncand = [len(fi.mvcand[r_idx0])]
+            ncand = [fi.mvcand_num[r_idx0]]
             sad, mv = ME.motion_estimate_bi(
                 bi.org_y, ref0, ref1, bi.ypos, bi.xpos, size, size, size,
                 mv_center[r_idx0], mvp, sqrt_lam, p, 0, self.width,
@@ -1336,8 +1340,9 @@ class Encoder:
             self.rc.init_frame(min_qp, max_qp)
         for k in range(nsv):
             for l in range(nsh):
-                fi.mvcand = [[] for _ in range(max(fi.num_ref, 1))]
-                fi.mvcand_mask = [0] * max(fi.num_ref, 1)
+                fi.mvcand = self.mvcand
+                fi.mvcand_num = [0] * 4
+                fi.mvcand_mask = [0] * 4
                 fi.best_ref = -1
                 if p.max_delta_qp:
                     # RDO search over SB-level QP (encode_frame.c:708-730)

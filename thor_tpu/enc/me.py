@@ -252,7 +252,10 @@ def motion_estimate(org: np.ndarray, ref_frame, ypos, xpos, size,
     read base to the sub-PU (C passes ref_y+offset_r with block coords).
     Returns (sad, mv)."""
     if sync:
-        raise NotImplementedError("motion_estimate_sync")
+        return motion_estimate_sync(org, ref_frame, ypos, xpos, size, width,
+                                    height, mvc, mvp, lam, params, sign,
+                                    fwidth, fheight, mvcand, mvcand_num,
+                                    enable_bipred, bitdepth, base_off)
     s = -1 if sign else 1
     rv = RefView(ref_frame, ypos + base_off[0], xpos + base_off[1])
     min_sad = MAX_UINT32
@@ -472,18 +475,75 @@ def motion_estimate_bi(org, ref0, ref1, ypos, xpos, size, width, height,
         mv_ref = mv_opt
         step >>= 1
 
-    cands = list(mvcand[:4]) + [(0, 0)] * max(0, 4 - len(mvcand))
-    cands = cands[:4]
-    cands.append(((mvp[0]), (mvp[1])))
-    cands.append((0, 0))
+    # C zero-fills slots [num..3] in place, then sets [4]=mvp, [5]=0
+    for idx in range(mvcand_num[0], 4):
+        mvcand[idx] = (0, 0)
+    mvcand[4] = mvp
+    mvcand[5] = (0, 0)
     for idx in range(6):
-        mv_cand = cands[idx]
-        if idx < 4:
-            mv_cand = (int(mv_cand[0]), int(mv_cand[1]))
+        mv_cand = (int(mvcand[idx][0]), int(mvcand[idx][1]))
         sad, mc_final = bi_sad(mv_cand)
         sad += int(lam * quote_mv_bits(mc_final[0] - mvp[0],
                                        mc_final[1] - mvp[1]) + 0.5)
         if sad < min_sad:
             min_sad = sad
             mv_opt = mc_final
+    return min_sad, mv_opt
+
+
+def motion_estimate_sync(org, ref_frame, ypos, xpos, size, width, height,
+                         mvc, mvp, lam, params, sign, fwidth, fheight,
+                         mvcand, mvcand_num, enable_bipred, bitdepth,
+                         base_off=(0, 0)):
+    """Wavefront-safe ME (enc/encode_block.c:713-796): telescope search to
+    quarter-pel resolution using full MC, then a 6-entry candidate pass.
+    NB: the C writes mvp and zero into mvcand[4]/[5] in place."""
+    min_sad = MAX_UINT32
+    mv_opt = (0, 0)
+    mv_ref = ((((mvc[0]) + 2) >> 2) << 2, (((mvc[1]) + 2) >> 2) << 2)
+
+    def mc_sad(mv_cand):
+        m = clip_mv(mv_cand[0], mv_cand[1], ypos, xpos, fwidth, fheight,
+                    size, size, sign)
+        pred = mc_luma(ref_frame.y_full, ref_frame.pad,
+                       ypos + base_off[0], xpos + base_off[1], width,
+                       height, m[0], m[1], sign, enable_bipred, fwidth,
+                       fheight, bitdepth, ypos, xpos)
+        sad = sad_calc(org, pred) >> (bitdepth - 8)
+        sad += int(lam * quote_mv_bits(m[0] - mvp[0], m[1] - mvp[1]) + 0.5)
+        return sad, m
+
+    step = 32
+    while step > 0:
+        rng = step
+        for k in range(-rng, rng + 1, step):
+            for l in range(-rng, rng + 1, step):
+                if step < 32 and k == 0 and l == 0:
+                    continue
+                if step == 1:
+                    vf, hf = mv_ref[0] & 3, mv_ref[1] & 3
+                    if vf == 0 and hf == 0:
+                        if abs(k) != abs(l):
+                            continue
+                    elif vf == 2 and hf == 2:
+                        continue
+                    else:
+                        if abs(k) == abs(l):
+                            continue
+                sad, m = mc_sad((mv_ref[0] + k, mv_ref[1] + l))
+                if sad < min_sad:
+                    min_sad = sad
+                    mv_opt = m
+        mv_ref = mv_opt
+        step >>= 1
+
+    # candidate pass over 6 fixed slots (C mutates mvcand[4]/[5];
+    # slots [num..3] hold stale values from earlier searches)
+    mvcand[4] = mvp
+    mvcand[5] = (0, 0)
+    for idx in range(6):
+        sad, m = mc_sad((int(mvcand[idx][0]), int(mvcand[idx][1])))
+        if sad < min_sad:
+            min_sad = sad
+            mv_opt = m
     return min_sad, mv_opt
