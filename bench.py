@@ -22,8 +22,14 @@ def main():
     from functools import partial
     from thor_tpu.models.pipeline import decode_inter_frame_16, make_example
 
+    import numpy as np
+
     H, W = 1088, 1920  # 1080p rounded to the 16-tile grid
     args = make_example(height=H, width=W)
+    # force a large device->host transfer first: the axon tunnel reports
+    # async completions optimistically until one happens, which would make
+    # timings look ~100x faster than the hardware really runs
+    np.asarray(args[0])
     fn = partial(decode_inter_frame_16, height=H, width=W, qp=32, bitdepth=8)
     out = fn(*args)
     out.block_until_ready()  # compile

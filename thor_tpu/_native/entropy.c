@@ -86,8 +86,14 @@ int get_vlc(br_t *br, int n)
     }
 }
 
-/* Decode one coefficient block scan into scoeff[N] (zigzag order);
- * the caller de-scans.  Returns new bitpos via the struct. */
+/* Decode one coefficient block scan into scoeff (zigzag order); the
+ * caller de-scans the first N=qsize^2 entries.  The buffer MUST have
+ * SCOEFF_CAP entries: run-mode can land past N on valid streams (the
+ * encoder may signal end-of-block with an overshooting run) and the
+ * reference absorbs those writes in a fixed 256-entry scratch
+ * (dec/read_bits.c:144).  We clamp at SCOEFF_CAP for robustness against
+ * corrupt streams (where the reference itself would smash its stack). */
+#define SCOEFF_CAP 512
 void read_coeff_scan(br_t *br, int16_t *scoeff, int qsize, int type)
 {
     int N = qsize * qsize;
@@ -136,7 +142,8 @@ void read_coeff_scan(br_t *br, int16_t *scoeff, int qsize, int type)
             level = 1;
             sign = br_bit(br);
         }
-        scoeff[pos] = (int16_t)(sign ? -level : level);
+        if (pos < SCOEFF_CAP)
+            scoeff[pos] = (int16_t)(sign ? -level : level);
         level_mode = level > 1;
         pos++;
     }

@@ -5,7 +5,9 @@ Usage:
   python -m thor_tpu.cli dec str.bit out.yuv
 
 Flags follow enc/strings.c (same names/defaults); -cf config files are
-supported.  Raw planar YUV only for now (y4m probing TBD).
+supported.  y4m input is probed (geometry/rate/subsampling/bitdepth taken
+from the stream header, enc/strings.c:376-450) and '.y4m' output/recon
+filenames get YUV4MPEG2 headers like the reference.
 """
 from __future__ import annotations
 
@@ -13,6 +15,9 @@ import math
 import sys
 
 import numpy as np
+
+from .io_y4m import (FRAME_MARKER, extract_raw_frames, probe_y4m,
+                     y4m_file_header)
 
 
 def _psnr(a: np.ndarray, b: np.ndarray, maxval: int) -> float:
@@ -45,8 +50,26 @@ def main_enc(argv):
             args.append(argv[i])
             i += 1
     apply_args(p, args)
-    p.validate()
     yuv = open(infile, "rb").read()
+    y4m = probe_y4m(yuv)
+    if y4m is not None:
+        # stream header geometry overrides config (enc/strings.c:376-450)
+        for a in ("width", "height", "frame_rate", "subsample",
+                  "aspectnum", "aspectden"):
+            v = getattr(y4m, a)
+            if v is not None:
+                setattr(p, a, v)
+        if y4m.input_bitdepth is not None and y4m.input_bitdepth > 8:
+            p.input_bitdepth = y4m.input_bitdepth
+            p.frame_bitdepth = 16
+    p.validate()
+    bpp = 1 + (p.input_bitdepth > 8)
+    ys = p.width * p.height
+    cs = ((ys >> (2 * (p.subsample != 444))) << (p.subsample == 422)) \
+        * (p.subsample != 400)
+    fsize = (ys + 2 * cs) * bpp
+    if y4m is not None:
+        yuv = extract_raw_frames(yuv, y4m, fsize)
 
     stats = {"n": 0, "bits": 0}
 
@@ -57,7 +80,17 @@ def main_enc(argv):
     if outfile:
         open(outfile, "wb").write(bits)
     if reconfile:
-        open(reconfile, "wb").write(recon)
+        with open(reconfile, "wb") as f:
+            if reconfile.endswith(".y4m"):
+                f.write(y4m_file_header(p.width, p.height, p.frame_rate,
+                                        p.aspectnum, p.aspectden,
+                                        p.subsample, p.input_bitdepth))
+                rs = len(recon) // max(1, stats["n"])
+                for i in range(stats["n"]):
+                    f.write(FRAME_MARKER)
+                    f.write(recon[i * rs:(i + 1) * rs])
+            else:
+                f.write(recon)
 
     # sequence PSNR (against the input, like the reference's snrcalc)
     if p.snrcalc and recon:
@@ -90,8 +123,16 @@ def main_dec(argv):
     data = open(argv[0], "rb").read()
     hdr, frames = decode_stream(data)
     with open(argv[1], "wb") as f:
-        for fr in frames:
-            f.write(fr)
+        if argv[1].endswith(".y4m"):
+            # dec/maindec.c:163-175: F is hardwired 30:1, A 1:1
+            f.write(y4m_file_header(hdr.width, hdr.height, 30.0, 1, 1,
+                                    hdr.subsample, hdr.input_bitdepth))
+            for fr in frames:
+                f.write(FRAME_MARKER)
+                f.write(fr)
+        else:
+            for fr in frames:
+                f.write(fr)
     print(f"decoded {len(frames)} frames {hdr.width}x{hdr.height}")
     return 0
 

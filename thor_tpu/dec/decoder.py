@@ -158,7 +158,9 @@ def read_coeff(s: BitReader, size: int, ctype: int) -> np.ndarray:
         import ctypes
         from .._native import BrStruct
         br = BrStruct(s.data, len(s.data), s.bitpos)
-        sco = np.zeros(N, np.int16)
+        # 512 entries: run-mode may land past N on valid streams (the
+        # reference absorbs this in a 256-entry scratch, read_bits.c:144)
+        sco = np.zeros(512, np.int16)
         lib.read_coeff_scan(ctypes.byref(br),
                             sco.ctypes.data_as(ctypes.c_void_p), qsize,
                             ctype)
@@ -167,7 +169,7 @@ def read_coeff(s: BitReader, size: int, ctype: int) -> np.ndarray:
         out = np.zeros((size, size), np.int16)
         out[:qsize, :qsize] = sco[ZIGZAG[qsize]].reshape(qsize, qsize)
         return out
-    scoeff = np.zeros(N, np.int16)
+    scoeff = np.zeros(512, np.int16)  # headroom for run-mode overshoot
     chroma_flag = ctype & 1
     intra_flag = (ctype >> 1) & 1
     vlc_adaptive = int(intra_flag and not chroma_flag)

@@ -69,6 +69,9 @@ class EncParams:
     bitdepth: int = 8
     frame_bitdepth: int = 8
     input_bitdepth: int = 8
+    # set only via y4m probing (enc/strings.c:285,427-433)
+    aspectnum: int = 1
+    aspectden: int = 1
     file_headerlen: int = 0
     frame_headerlen: int = 0
 

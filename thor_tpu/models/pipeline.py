@@ -18,18 +18,34 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.mc import mc_luma_tiles
+from ..ops.mc_pallas import mc_luma_tiles_pallas
 from ..ops.transform import (inv_transform_batch, dequantize_batch,
                              reconstruct_batch)
 
 TILE = 16
 
 
-@partial(jax.jit, static_argnames=("height", "width", "qp", "bitdepth"))
+def _mc(ref_padded, oy, ox, frac_v, frac_h, bitdepth, platform):
+    """Pallas DMA-gather MC on TPU; XLA formulation elsewhere (CPU mesh)."""
+    if platform != "tpu":
+        return mc_luma_tiles(ref_padded, oy, ox, frac_v, frac_h, tile=TILE,
+                             bipred=0, bitdepth=bitdepth)
+    n = oy.shape[0]
+    block = 32 if n % 32 == 0 else (16 if n % 16 == 0 else
+                                    (8 if n % 8 == 0 else 1))
+    return mc_luma_tiles_pallas(ref_padded, oy, ox, frac_v, frac_h,
+                                tile=TILE, bipred=0, bitdepth=bitdepth,
+                                block=block)
+
+
+@partial(jax.jit,
+         static_argnames=("height", "width", "qp", "bitdepth", "platform"))
 def decode_inter_frame_16(ref_padded: jax.Array, oy: jax.Array,
                           ox: jax.Array, frac_v: jax.Array,
                           frac_h: jax.Array, coeff: jax.Array,
                           height: int, width: int, qp: int = 32,
-                          bitdepth: int = 8) -> jax.Array:
+                          bitdepth: int = 8,
+                          platform: str | None = None) -> jax.Array:
     """Decode one frame of 16x16 inter tiles.
 
     ref_padded: [Hp, Wp] int32.  oy/ox/frac_v/frac_h: [N] per-tile MC
@@ -38,8 +54,9 @@ def decode_inter_frame_16(ref_padded: jax.Array, oy: jax.Array,
     """
     n_tiles_y = height // TILE
     n_tiles_x = width // TILE
-    pred = mc_luma_tiles(ref_padded, oy, ox, frac_v, frac_h, tile=TILE,
-                         bipred=0, bitdepth=bitdepth)
+    if platform is None:
+        platform = jax.default_backend()
+    pred = _mc(ref_padded, oy, ox, frac_v, frac_h, bitdepth, platform)
     rcoeff = dequantize_batch(coeff, qp, TILE)
     res = inv_transform_batch(rcoeff, TILE, bitdepth)
     rec = reconstruct_batch(res, pred, bitdepth)
@@ -108,11 +125,13 @@ def multi_stream_step(mesh, height=96, width=128, streams=None, qp=32):
             put(coeff, NamedSharding(mesh, P(axes[0], axes[1], None, None))),
             put(orig, s_stream))
 
+    platform = mesh.devices.flat[0].platform
+
     @jax.jit
     def step(refs, oy, ox, fv, fh, coeff, orig):
         rec = jax.vmap(
             lambda r, a, b, c, d, e: decode_inter_frame_16(
-                r, a, b, c, d, e, height, width, qp))(
+                r, a, b, c, d, e, height, width, qp, platform=platform))(
             refs, oy, ox, fv, fh, coeff)
         sse = jnp.sum((rec - orig) ** 2)  # global reduction -> collectives
         return rec, sse

@@ -1,15 +1,17 @@
 """Batched motion compensation on device.
 
-TPU-first design: instead of per-block pointer walks, MC is a dense batch
-over fixed-size tiles (the 4x4 MV grid the codec already maintains).  Each
-tile gathers a (tile+5)^2 window from the padded reference at its integer
-MV offset and applies the separable 6-tap quarter-pel filter selected by
-its fractional MV.  Integer positions fall out naturally because frac=0
-selects the delta filter [0,0,64,0,0,0] ((64*64*x+2048)>>12 == x).
+TPU-first design.  Per-tile data-dependent filter taps are pathological on
+the VPU (a [N,1,1]->[N,tile,w] broadcast multiply measured ~300x slower
+than the same filter with compile-time-constant taps), so MC is formulated
+frame-first: every (frac_v, frac_h) variant of the padded reference is
+pre-filtered densely with CONSTANT taps (16 luma variants incl. the centre
+lowpass, 64 chroma variants), then each tile does a single cheap
+vmap(dynamic_slice) gather from its variant.  Dense aligned passes run at
+HBM speed; the gather of whole windows lowers to a bulk slice-gather.
 
-Bit-exact with spec.inter.mc_luma / mc_chroma (same tap order, rounding
-and saturation); the special centre lowpass (frac==(2,2), bipred<2) is a
-masked select.
+Bit-exact with spec.inter.mc_luma / mc_chroma (same tap order, single
+rounding after the separable pass, saturation); the special centre lowpass
+(frac==(2,2), bipred<2) simply *is* variant 10.
 """
 from __future__ import annotations
 
@@ -21,9 +23,11 @@ import numpy as np
 
 from ..tables import COEFFS_STANDARD, COEFFS_BIPRED, COEFFS_CHROMA
 
-_STD = jnp.asarray(np.array(COEFFS_STANDARD, np.int32))
-_BIP = jnp.asarray(np.array(COEFFS_BIPRED, np.int32))
-_CHR = jnp.asarray(np.array(COEFFS_CHROMA, np.int32))
+_STD = np.array(COEFFS_STANDARD, np.int64)
+_BIP = np.array(COEFFS_BIPRED, np.int64)
+_CHR = np.array(COEFFS_CHROMA, np.int64)
+_LP = np.array([[0, 1, 1, 0], [1, 2, 2, 1], [1, 2, 2, 1], [0, 1, 1, 0]],
+               np.int64)
 
 
 def _gather_windows(ref: jax.Array, oy: jax.Array, ox: jax.Array, wh: int,
@@ -40,6 +44,47 @@ def _gather_windows(ref: jax.Array, oy: jax.Array, ox: jax.Array, wh: int,
     return jax.vmap(slice_one)(oy, ox)
 
 
+def _luma_variants(ref: jax.Array, bipred: int, bitdepth: int):
+    """Stack of the 16 (frac_v, frac_h) pre-filtered frames.
+
+    V[fv*4+fh][y, x] is the MC output for pixel (y+2, x+2) of `ref`
+    (the 6 taps cover rows/cols -2..+3 around the output pixel), so a
+    window origin oy = pos - 2 indexes the stack directly.
+    """
+    hp, wp = ref.shape
+    coeffs = _BIP if bipred else _STD
+    maxval = (1 << bitdepth) - 1
+    # vertical pass: 4 constant-tap variants over the whole frame
+    vert = []
+    for f in range(4):
+        t = jnp.zeros((hp - 5, wp), jnp.int32)
+        for m in range(6):
+            c = int(coeffs[f, m])
+            if c:
+                t = t + c * ref[m:hp - 5 + m]
+        vert.append(t)
+    variants = []
+    for f in range(4):
+        for g in range(4):
+            if f == 2 and g == 2 and bipred < 2:
+                # centre lowpass (common_kernels.c thor-style 4x4 kernel)
+                t = jnp.zeros((hp - 5, wp - 5), jnp.int32)
+                for dy in range(4):
+                    for dx in range(4):
+                        if _LP[dy, dx]:
+                            t = t + int(_LP[dy, dx]) * \
+                                ref[1 + dy:hp - 4 + dy, 1 + dx:wp - 4 + dx]
+                variants.append(jnp.clip((t + 8) >> 4, 0, maxval))
+                continue
+            t = jnp.zeros((hp - 5, wp - 5), jnp.int32)
+            for m in range(6):
+                c = int(coeffs[g, m])
+                if c:
+                    t = t + c * vert[f][:, m:wp - 5 + m]
+            variants.append(jnp.clip((t + 2048) >> 12, 0, maxval))
+    return jnp.stack(variants)
+
+
 @partial(jax.jit, static_argnames=("tile", "bitdepth", "bipred"))
 def mc_luma_tiles(ref: jax.Array, oy: jax.Array, ox: jax.Array,
                   frac_v: jax.Array, frac_h: jax.Array,
@@ -51,35 +96,12 @@ def mc_luma_tiles(ref: jax.Array, oy: jax.Array, ox: jax.Array,
     (tile+5)-wide read window).  frac_v/frac_h: [N] in 0..3.
     Returns [N, tile, tile] int32.
     """
-    w = tile + 5
-    win = _gather_windows(ref, oy, ox, w, w)            # [N, w, w]
-    coeffs = _BIP if bipred else _STD
-    fv = coeffs[frac_v]                                  # [N, 6]
-    fh = coeffs[frac_h]
-    # vertical: tmp[n, i, j] = sum_m fv[n,m] * win[n, i+m, j]
-    tmp = jnp.zeros((win.shape[0], tile, w), jnp.int32)
-    for m in range(6):
-        tmp = tmp + fv[:, m, None, None] * win[:, m:m + tile, :]
-    out = jnp.zeros((win.shape[0], tile, tile), jnp.int32)
-    for m in range(6):
-        out = out + fh[:, m, None, None] * tmp[:, :, m:m + tile]
-    out = jnp.clip((out + 2048) >> 12, 0, (1 << bitdepth) - 1)
+    v = _luma_variants(ref.astype(jnp.int32), bipred, bitdepth)
+    idx = frac_v * 4 + frac_h
 
-    if bipred < 2:
-        # centre (2,2): special 4x4 lowpass on rows/cols [1..4] of the window
-        k = jnp.asarray(np.array([[0, 1, 1, 0], [1, 2, 2, 1],
-                                  [1, 2, 2, 1], [0, 1, 1, 0]], np.int32))
-        lp = jnp.zeros((win.shape[0], tile, tile), jnp.int32)
-        for dy in range(4):
-            for dx in range(4):
-                if int(np.array([[0, 1, 1, 0], [1, 2, 2, 1], [1, 2, 2, 1],
-                                 [0, 1, 1, 0]])[dy, dx]):
-                    lp = lp + k[dy, dx] * win[:, 1 + dy:1 + dy + tile,
-                                              1 + dx:1 + dx + tile]
-        lp = jnp.clip((lp + 8) >> 4, 0, (1 << bitdepth) - 1)
-        centre = ((frac_v == 2) & (frac_h == 2))[:, None, None]
-        out = jnp.where(centre, lp, out)
-    return out
+    def slice_one(k, y, x):
+        return jax.lax.dynamic_slice(v, (k, y, x), (1, tile, tile))[0]
+    return jax.vmap(slice_one)(idx, oy, ox)
 
 
 @partial(jax.jit, static_argnames=("tile", "bitdepth"))
@@ -90,16 +112,33 @@ def mc_chroma_tiles(ref: jax.Array, oy: jax.Array, ox: jax.Array,
 
     oy/ox: [N] window origins = pad_c + block_y + ver_int - 1.
     frac_v/frac_h: [N] in 0..7.  Returns [N, tile, tile] int32.
-    Order matches spec.mc_chroma: horizontal first, then vertical.
+    Order matches spec.mc_chroma: horizontal first, then vertical; one
+    rounding after both passes.  Variant (fv,fh) index y holds output
+    pixel y+1, so window origins index the stack directly.
     """
-    w = tile + 3
-    win = _gather_windows(ref, oy, ox, w, w)
-    fh = _CHR[frac_h]
-    fv = _CHR[frac_v]
-    tmp = jnp.zeros((win.shape[0], w, tile), jnp.int32)
-    for m in range(4):
-        tmp = tmp + fh[:, m, None, None] * win[:, :, m:m + tile]
-    out = jnp.zeros((win.shape[0], tile, tile), jnp.int32)
-    for m in range(4):
-        out = out + fv[:, m, None, None] * tmp[:, m:m + tile, :]
-    return jnp.clip((out + 2048) >> 12, 0, (1 << bitdepth) - 1)
+    r = ref.astype(jnp.int32)
+    hp, wp = r.shape
+    maxval = (1 << bitdepth) - 1
+    horiz = []
+    for g in range(8):
+        t = jnp.zeros((hp, wp - 3), jnp.int32)
+        for m in range(4):
+            c = int(_CHR[g, m])
+            if c:
+                t = t + c * r[:, m:wp - 3 + m]
+        horiz.append(t)
+    variants = []
+    for f in range(8):
+        for g in range(8):
+            t = jnp.zeros((hp - 3, wp - 3), jnp.int32)
+            for m in range(4):
+                c = int(_CHR[f, m])
+                if c:
+                    t = t + c * horiz[g][m:hp - 3 + m]
+            variants.append(jnp.clip((t + 2048) >> 12, 0, maxval))
+    v = jnp.stack(variants)
+    idx = frac_v * 8 + frac_h
+
+    def slice_one(k, y, x):
+        return jax.lax.dynamic_slice(v, (k, y, x), (1, tile, tile))[0]
+    return jax.vmap(slice_one)(idx, oy, ox)
