@@ -21,6 +21,39 @@ from ..spec.cfl import improve_uv_prediction
 
 I_FRAME, P_FRAME, B_FRAME = 0, 1, 2
 MODE_SKIP, MODE_INTRA, MODE_INTER, MODE_BIPRED, MODE_MERGE = 0, 1, 2, 3, 4
+# stat_mode_t (common/types.h:113-123)
+(STAT_SKIP, STAT_SPLIT, STAT_REF_IDX0, STAT_MERGE, STAT_BIPRED,
+ STAT_INTRA, STAT_REF_IDX1) = range(7)
+
+
+class BitCount:
+    """Decoder bit-accounting (bit_count_t), filled at the same syntax
+    boundaries as the reference (dec/read_bits.c, decode_block.c,
+    decode_frame.c) so the BIT/PARAMETER STATISTICS reports match."""
+
+    def __init__(self):
+        def z3():
+            return [0, 0, 0]
+        self.sequence_header = 0
+        self.frame_header = z3()
+        self.frame_type = z3()
+        self.super_mode = z3()
+        self.intra_mode = z3()
+        self.mv = z3()
+        self.skip_idx = z3()
+        self.coeff_y = z3()
+        self.coeff_u = z3()
+        self.coeff_v = z3()
+        self.cbp = z3()
+        self.clpf = z3()  # never incremented by the reference decoder
+        self.mode = [[0] * 5 for _ in range(3)]
+        self.size = [[0] * 5 for _ in range(3)]
+        self.size_and_mode = [[[0] * 5 for _ in range(5)] for _ in range(3)]
+        self.super_mode_stat = [[[0] * 9 for _ in range(5)]
+                                for _ in range(3)]
+        self.size_and_ref_idx = [[[0] * 4 for _ in range(5)]
+                                 for _ in range(3)]
+        self.bi_ref = [[0] * 16 for _ in range(3)]
 
 
 @dataclass
@@ -266,6 +299,7 @@ class Decoder:
         self.mono = h.subsample == 400
         self.b_level = 0
         self.stat_frame_type = I_FRAME
+        self.bc = BitCount()
 
     # ----- super mode -----
     def decode_super_mode(self, s: BitReader, size, decode_this_size, ctx_index):
@@ -292,47 +326,64 @@ class Decoder:
             maxbit -= 1
         code = s.get_vlc(10 + maxbit)
 
+        # statistics (decode_block.c:516,565,608)
+        sms = self.bc.super_mode_stat[self.stat_frame_type][log2i(size) - 3]
+
         if interp_ref:
             if (ctx_index == 2 or ctx_index > 3) and size > MIN_BLOCK_SIZE:
                 if code < 3:
                     code = (code + 1) % 3
             if split_possible and code == 1:
+                sms[STAT_SPLIT] += 1
                 return 1, MODE_SKIP, 0
             if not split_possible and code > 0:
                 code += 1
             if not bipred_possible and code >= 3:
                 code += 1
             if code == 0:
+                sms[STAT_SKIP] += 1
                 return 0, MODE_SKIP, 0
             if code == 2:
+                sms[STAT_MERGE] += 1
                 return 0, MODE_MERGE, 0
             if code == 3:
+                sms[STAT_BIPRED] += 1
                 return 0, MODE_BIPRED, 0
             if code == 4:
+                sms[STAT_INTRA] += 1
                 return 0, MODE_INTRA, 0
             if code == 4 + num_ref:
+                sms[STAT_REF_IDX0] += 1
                 return 0, MODE_INTER, 0
+            sms[STAT_REF_IDX1 + code - 5] += 1
             return 0, MODE_INTER, code - 4
         else:
             if (ctx_index == 2 or ctx_index > 3) and size > MIN_BLOCK_SIZE:
                 if code < 4:
                     code = (code + 1) % 4
             if split_possible and code == 1:
+                sms[STAT_SPLIT] += 1
                 return 1, MODE_SKIP, 0
             if not split_possible and code > 0:
                 code += 1
             if not bipred_possible and code >= 4:
                 code += 1
             if code == 0:
+                sms[STAT_SKIP] += 1
                 return 0, MODE_SKIP, 0
             if code == 2:
+                sms[STAT_REF_IDX0] += 1
                 return 0, MODE_INTER, 0
             if code == 3:
+                sms[STAT_MERGE] += 1
                 return 0, MODE_MERGE, 0
             if code == 4:
+                sms[STAT_BIPRED] += 1
                 return 0, MODE_BIPRED, 0
             if code == 5:
+                sms[STAT_INTRA] += 1
                 return 0, MODE_INTRA, 0
+            sms[STAT_REF_IDX1 + code - 6] += 1
             return 0, MODE_INTER, code - 5
 
     # ----- block syntax (dec/read_bits.c:252-773) -----
@@ -347,6 +398,9 @@ class Decoder:
               "cbp": (0, 0, 0)}
         coeffs = {"y": None, "u": None, "v": None}
         sb_size = 1 << h.log2_sb_size
+        bc = self.bc
+        ft = self.stat_frame_type
+        bit_start = s.bitcnt  # read_bits.c:292
 
         if mode in (MODE_SKIP, MODE_MERGE):
             cands = inter.get_mv_skip(ypos, xpos, self.width, self.height,
@@ -363,6 +417,7 @@ class Decoder:
                 skip_idx = s.get_flc(1)
             else:
                 skip_idx = 0
+            bc.skip_idx[ft] += s.bitcnt - bit_start
             c = cands[0] if skip_idx == num else cands[skip_idx]
             bp["skip_idx"] = skip_idx
             bp["ref_idx0"], bp["ref_idx1"] = c[4], c[5]
@@ -372,6 +427,7 @@ class Decoder:
         elif mode == MODE_INTER:
             pb_part = s.get_vlc(13) if h.pb_split else 0
             bp["pb_part"] = pb_part
+            bc.size_and_ref_idx[ft][log2i(size) - 3][ref_idx] += 1
             mvp = inter.get_mv_pred(ypos, xpos, self.width, self.height,
                                     size, size, sb_size, self.dd)
             mv = [None] * 4
@@ -394,6 +450,7 @@ class Decoder:
                 mv[3] = read_mv(s, mv[0])
             bp["mv_arr0"] = mv
             bp["mv_arr1"] = list(mv)
+            bc.mv[ft] += s.bitcnt - bit_start
             bp["ref_idx0"] = bp["ref_idx1"] = ref_idx
             bp["dir"] = 0
         elif mode == MODE_BIPRED:
@@ -421,11 +478,15 @@ class Decoder:
                     bp["ref_idx0"] = (code >> 2) & 3
                     bp["ref_idx1"] = code & 3
             bp["dir"] = 2
+            combined = bp["ref_idx0"] * fi.num_ref + bp["ref_idx1"]
+            bc.bi_ref[ft][combined] += 1
+            bc.mv[ft] += s.bitcnt - bit_start
         elif mode == MODE_INTRA:
             if fi.num_intra_modes <= 4:
                 bp["intra_mode"] = s.get_flc(2)
             else:
                 bp["intra_mode"] = s.get_vlc(8)
+            bc.intra_mode[ft] += s.bitcnt - bit_start
             bp["dir"] = -1
 
         # cbp / tb_split / coefficients
@@ -441,6 +502,7 @@ class Decoder:
                 cbp = (cbpy, 0, 0)
                 code = 0
             else:
+                bit_start = s.bitcnt  # read_bits.c:563
                 code = s.get_vlc(0)
                 off = 1 if mode == MODE_MERGE else 2
                 if h.tb_split_enable:
@@ -450,6 +512,9 @@ class Decoder:
                 else:
                     tb_split = 0
             bp["tb_split"] = tb_split
+            # mono keeps bit_start from block entry (read_bits.c:577 quirk:
+            # the 400-path never resets it, double-counting mode bits)
+            bc.cbp[ft] += s.bitcnt - bit_start
             if tb_split == 0:
                 if not self.mono:
                     if mode == MODE_MERGE:
@@ -465,13 +530,25 @@ class Decoder:
                         tmp += 1
                     cbp = (tmp & 1, (tmp >> 1) & 1, (tmp >> 2) & 1)
                 bp["cbp"] = cbp
-                coeffs["y"] = (read_coeff(s, sizeY, ctype | 0) if cbp[0]
-                               else np.zeros((sizeY, sizeY), np.int16))
+                if cbp[0]:
+                    bit_start = s.bitcnt
+                    coeffs["y"] = read_coeff(s, sizeY, ctype | 0)
+                    bc.coeff_y[ft] += s.bitcnt - bit_start
+                else:
+                    coeffs["y"] = np.zeros((sizeY, sizeY), np.int16)
                 if not self.mono:
-                    coeffs["u"] = (read_coeff(s, sizeC, ctype | 1) if cbp[1]
-                                   else np.zeros((sizeC, sizeC), np.int16))
-                    coeffs["v"] = (read_coeff(s, sizeC, ctype | 1) if cbp[2]
-                                   else np.zeros((sizeC, sizeC), np.int16))
+                    if cbp[1]:
+                        bit_start = s.bitcnt
+                        coeffs["u"] = read_coeff(s, sizeC, ctype | 1)
+                        bc.coeff_u[ft] += s.bitcnt - bit_start
+                    else:
+                        coeffs["u"] = np.zeros((sizeC, sizeC), np.int16)
+                    if cbp[2]:
+                        bit_start = s.bitcnt
+                        coeffs["v"] = read_coeff(s, sizeC, ctype | 1)
+                        bc.coeff_v[ft] += s.bitcnt - bit_start
+                    else:
+                        coeffs["v"] = np.zeros((sizeC, sizeC), np.int16)
             else:
                 # 4 sub-TUs
                 if sizeC > 4:
@@ -479,6 +556,7 @@ class Decoder:
                     us = np.zeros((4, sizeC // 2, sizeC // 2), np.int16)
                     vs = np.zeros((4, sizeC // 2, sizeC // 2), np.int16)
                     for index in range(4):
+                        bit_start = s.bitcnt
                         code = s.get_vlc(0)
                         tmp = 0
                         while code != cbp_table[tmp] and tmp < 8:
@@ -486,29 +564,59 @@ class Decoder:
                         if ctx_cbp == 0 and tmp < 2:
                             tmp = 1 - tmp
                         cy, cu, cv = tmp & 1, (tmp >> 1) & 1, (tmp >> 2) & 1
+                        bc.cbp[ft] += s.bitcnt - bit_start
                         if cy:
+                            bit_start = s.bitcnt
                             ys[index] = read_coeff(s, sizeY // 2, ctype | 0)
+                            bc.coeff_y[ft] += s.bitcnt - bit_start
                         if cu:
+                            bit_start = s.bitcnt
                             us[index] = read_coeff(s, sizeC // 2, ctype | 1)
+                            bc.coeff_u[ft] += s.bitcnt - bit_start
                         if cv:
+                            bit_start = s.bitcnt
                             vs[index] = read_coeff(s, sizeC // 2, ctype | 1)
+                            bc.coeff_v[ft] += s.bitcnt - bit_start
                     coeffs["y"], coeffs["u"], coeffs["v"] = ys, us, vs
                 else:
                     ys = np.zeros((4, sizeY // 2, sizeY // 2), np.int16)
                     for index in range(4):
-                        if s.get_flc(1):
+                        bit_start = s.bitcnt
+                        cy = s.get_flc(1)
+                        bc.cbp[ft] += s.bitcnt - bit_start
+                        if cy:
+                            bit_start = s.bitcnt
                             ys[index] = read_coeff(s, sizeY // 2, ctype | 0)
+                            bc.coeff_y[ft] += s.bitcnt - bit_start
                     coeffs["y"] = ys
                     if not self.mono:
+                        bit_start = s.bitcnt
                         tmp = s.get_vlc(13)
                         cu, cv = tmp & 1, (tmp >> 1) & 1
-                        coeffs["u"] = (read_coeff(s, sizeC, ctype | 1) if cu
-                                       else np.zeros((sizeC, sizeC), np.int16))
-                        coeffs["v"] = (read_coeff(s, sizeC, ctype | 1) if cv
-                                       else np.zeros((sizeC, sizeC), np.int16))
+                        bc.cbp[ft] += s.bitcnt - bit_start
+                        if cu:
+                            bit_start = s.bitcnt
+                            coeffs["u"] = read_coeff(s, sizeC, ctype | 1)
+                            bc.coeff_u[ft] += s.bitcnt - bit_start
+                        else:
+                            coeffs["u"] = np.zeros((sizeC, sizeC), np.int16)
+                        if cv:
+                            bit_start = s.bitcnt
+                            coeffs["v"] = read_coeff(s, sizeC, ctype | 1)
+                            bc.coeff_v[ft] += s.bitcnt - bit_start
+                        else:
+                            coeffs["v"] = np.zeros((sizeC, sizeC), np.int16)
                 bp["cbp"] = (1, 1, 1)
         else:
             bp["cbp"] = (0, 0, 0)
+
+        # mode / size statistics in 8x8-block units (read_bits.c:766-771)
+        bwidth = min(size, self.width - xpos)
+        bheight = min(size, self.height - ypos)
+        n8 = (bwidth // MIN_BLOCK_SIZE) * (bheight // MIN_BLOCK_SIZE)
+        bc.mode[ft][mode] += n8
+        bc.size[ft][log2i(size) - 3] += n8
+        bc.size_and_mode[ft][log2i(size) - 3][mode] += n8
         return bp, coeffs
 
     def get_mv_skip_temp(self, ypos, xpos, size, cands):
@@ -906,6 +1014,7 @@ class Decoder:
                             xpos + size <= self.width)
         decode_rect = (not decode_this_size and
                        self.fi.frame_type != I_FRAME)
+        bit_start = s.bitcnt  # decode_block.c:628
         ctx = find_block_contexts(ypos, xpos, self.height, self.width, size,
                                   self.dd, self.h.use_block_contexts)
         split, mode, ref_idx = self.decode_super_mode(s, size,
@@ -919,6 +1028,7 @@ class Decoder:
             prev_qp = (self.fi.qp if (ypos == 0 and xpos == 0)
                        else self.fi.qpb)
             self.fi.qpb = prev_qp + delta_qp
+        self.bc.super_mode[self.stat_frame_type] += s.bitcnt - bit_start
         if split and size >= MIN_BLOCK_SIZE:
             ns = size // 2
             self.process_block(s, ns, ypos, xpos)
@@ -934,6 +1044,7 @@ class Decoder:
         fi = self.fi
         fi.decode_order_frame_num = decode_order_frame_num
         fi.interp_ref = 0
+        bit_start = s.bitcnt  # decode_frame.c:62
         read_frame_header(h, s, fi, self)
         self.stat_frame_type = fi.frame_type
         qp = fi.qp
@@ -970,6 +1081,10 @@ class Decoder:
                                off1 + off2, off2)
             self.interp_frames[0].pad_frame()
             self.interp_frames[0].frame_num = dfn
+
+        # decode_frame.c:115-116
+        self.bc.frame_header[self.stat_frame_type] += s.bitcnt - bit_start
+        self.bc.frame_type[self.stat_frame_type] += 1
 
         fi.qpb = qp
         sb_size = 1 << h.log2_sb_size
@@ -1084,13 +1199,17 @@ def decode_stream(data: bytes, progress=None):
     s = fur.next_frame()
     header = SequenceHeader.read(s)
     dec = Decoder(header)
+    dec.bc.sequence_header = s.bitcnt  # maindec.c:129-139
     outputs = {}
     n = 0
+    bitcnt = 0
     while s is not None:
         dec.decode_frame(s, n)
         outputs[dec.fi.display_frame_num] = dec.rec.to_bytes()
+        bitcnt += s.bitcnt
         if progress:
-            progress(n, dec.fi.display_frame_num)
+            progress(n, dec.fi.display_frame_num, bitcnt)
         n += 1
         s = fur.next_frame()
+    header.bit_count = dec.bc  # for the CLI statistics report
     return header, [outputs[k] for k in sorted(outputs)]

@@ -1714,12 +1714,26 @@ def encode_sequence(params: EncParams, yuv: bytes, progress=None):
                 p.file_headerlen + p.frame_headerlen)
             enc.orig.frame_num = fi.frame_num
 
+            # window state as used for this frame (the shift at the end of
+            # encode_frame would otherwise show the just-coded frame)
+            rfn = [enc.ref[r].frame_num if 0 <= r < len(enc.ref)
+                   else None for r in fi.ref_array]
+            start_bits = enc.writer.get_bit_pos()
             enc.encode_frame()
+            end_bits = enc.writer.get_bit_pos()
             num_encoded += 1
             out += enc.writer.flush_frame()
             recon[fi.frame_num] = enc.rec.to_bytes()
             if progress:
-                progress(fi.frame_num, fi.frame_type)
+                # per-frame stats mirroring enc/mainenc.c:547-592
+                progress(frame_num, fi.frame_type, {
+                    "qp": fi.qp, "bits": end_bits - start_bits,
+                    "num_ref": fi.num_ref,
+                    "ref_array": list(fi.ref_array[:fi.num_ref]),
+                    "ref_frame_nums": rfn,
+                    "rec": recon[fi.frame_num],
+                    "orig_frame": fi.frame_num + p.skip,
+                })
             last_PorI = 0 if fi.frame_type != B_FRAME else last_PorI + 1
         if (((frame_num0 + sub_gop + 1) * frame_size > input_size or
              frame_num0 + sub_gop >= p.skip + p.num_frames) and
