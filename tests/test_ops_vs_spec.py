@@ -134,3 +134,97 @@ def test_mc_chroma_tiles():
         ref_blk = mc_chroma(ref, pad, int(ys[n]), int(xs[n]), tile, tile,
                             int(mvy[n]), int(mvx[n]), 0, W, H, 8)
         assert np.array_equal(out[n], ref_blk), n
+
+
+# ---------------------------------------------------------------- filters
+
+def _random_dd(rng, W, H, modes=(0, 0, 1, 2, 4)):
+    from thor_tpu.spec import inter
+    dd = inter.DeblockData(W, H)
+    n = dd.size.shape[0]
+    dd.size[:] = rng.choice([8, 16, 32, 64], n)
+    dd.tb_split[:] = rng.integers(0, 2, n)
+    dd.pb_part[:] = rng.integers(0, 4, n)
+    dd.cbp_y[:] = rng.integers(0, 2, n)
+    dd.mode[:] = rng.choice(list(modes), n)
+    dd.mv0[:] = rng.integers(-8, 9, (n, 2))
+    dd.mv1[:] = rng.integers(-8, 9, (n, 2))
+    return dd
+
+
+@pytest.mark.parametrize("bd", [8, 10])
+def test_deblock_device(bd):
+    from thor_tpu.spec import filters as SF
+    from thor_tpu.ops import filters as OF
+    from thor_tpu.tables import CHROMA_QP
+    rng = np.random.default_rng(3 + bd)
+    W, H = 128, 96
+    dd = _random_dd(rng, W, H)
+    qp = int(rng.integers(8, 50))
+    y = rng.integers(0, 1 << bd, (H, W)).astype(np.int32)
+    ref = y.copy()
+    SF.deblock_frame_y(ref, dd, W, H, qp, bd)
+    mv, mh = OF.deblock_masks_y(dd, W, H)
+    assert (np.asarray(OF.deblock_plane_y(y, mv, mh, qp, bd)) == ref).all()
+
+    u = rng.integers(0, 1 << bd, (H // 2, W // 2)).astype(np.int32)
+    v = rng.integers(0, 1 << bd, (H // 2, W // 2)).astype(np.int32)
+    ru, rv = u.copy(), v.copy()
+    qpc = int(CHROMA_QP[qp])
+    SF.deblock_frame_uv(ru, rv, dd, W, H, qpc, 1, bd)
+    mvc, mhc = OF.deblock_masks_uv(dd, W, H)
+    assert (np.asarray(OF.deblock_plane_uv(u, mvc, mhc, qpc, 1, bd)) == ru).all()
+    assert (np.asarray(OF.deblock_plane_uv(v, mvc, mhc, qpc, 1, bd)) == rv).all()
+
+
+@pytest.mark.parametrize("plane,fbl", [(0, 4), (0, 5), (0, 7), (1, 4),
+                                       (2, 4)])
+def test_clpf_device(plane, fbl):
+    from thor_tpu.spec import filters as SF
+    from thor_tpu.ops import filters as OF
+    rng = np.random.default_rng(5 + plane + fbl)
+    W, H, bd, sub = 128, 96, 8, 1
+    dd = _random_dd(rng, W, H)
+    qp = int(rng.integers(8, 50))
+    strength = int(rng.choice([1, 2, 4]))
+    psub = sub if plane else 0
+    x = rng.integers(0, 256, (H >> psub, W >> psub)).astype(np.int32)
+    nbits = SF.count_clpf_decisions(dd, W, H, plane, fbl, sub)
+    bits = ([int(b) for b in rng.integers(0, 2, nbits)]
+            if (plane == 0 and fbl == 5) else None)
+    ref = x.copy()
+    SF.clpf_frame(ref, dd, W, plane, strength, fbl, bd, qp, sub,
+                  decision_bits=bits)
+    mask, _ = OF.clpf_pixel_mask(dd, W, H, plane, fbl, sub,
+                                 decision_bits=bits)
+    damping = bd - 4 - (plane != 0) + (qp >> 4)
+    out = np.asarray(OF.clpf_plane(x, mask, strength << (bd - 8), damping))
+    assert (out == ref).all()
+
+
+@pytest.mark.parametrize("bd", [8, 10])
+def test_cdef_device(bd):
+    from thor_tpu.spec import filters as SF
+    from thor_tpu.ops import filters as OF
+    rng = np.random.default_rng(11 + bd)
+    W, H, cs = 128, 96, bd - 8
+    dd = _random_dd(rng, W, H)
+    nfb = ((H + 63) // 64) * ((W + 63) // 64)
+    presets = [{"level": int(rng.integers(0, 16)),
+                "sec_strength": int(rng.integers(0, 4)),
+                "skip_condition": 0} for _ in range(nfb)]
+    damping = [int(rng.integers(4, 7)), int(rng.integers(3, 6))]
+    y = rng.integers(0, 1 << bd, (H, W)).astype(np.int32)
+    u = rng.integers(0, 1 << bd, (H // 2, W // 2)).astype(np.int32)
+    ry, ru = y.copy(), u.copy()
+    dirs_out = {}
+    SF.cdef_frame(ry, dd, W, H, 0, 1, bd, presets, damping, dirs_out)
+    SF.cdef_frame(ru, dd, W, H, 1, 1, bd, presets, damping, dirs_out)
+    dirs, var = OF.cdef_dirs(y, cs)
+    lv0, sec0, m0 = OF.cdef_block_maps(dd, presets, W, H, 0, 1)
+    assert (np.asarray(OF.cdef_plane(y, dirs, var, lv0, sec0, m0, 8, 0,
+                                     damping[0], damping[1], cs)) == ry).all()
+    lv1, sec1, m1 = OF.cdef_block_maps(dd, presets, W, H, 1, 1)
+    assert (np.asarray(OF.cdef_plane(u, dirs, var, lv1, sec1, m1, 4, 1,
+                                     damping[0] - 1, damping[1] - 1,
+                                     cs)) == ru).all()

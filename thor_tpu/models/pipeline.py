@@ -137,3 +137,158 @@ def multi_stream_step(mesh, height=96, width=128, streams=None, qp=32):
         return rec, sse
 
     return step, args
+
+
+def _mc_chroma(ref_padded, oy, ox, frac_v, frac_h, bitdepth, platform,
+               tile=8):
+    from ..ops.mc import mc_chroma_tiles
+    from ..ops.mc_pallas import mc_chroma_tiles_pallas
+    if platform != "tpu":
+        return mc_chroma_tiles(ref_padded, oy, ox, frac_v, frac_h,
+                               tile=tile, bitdepth=bitdepth)
+    n = oy.shape[0]
+    block = 32 if n % 32 == 0 else (16 if n % 16 == 0 else
+                                    (8 if n % 8 == 0 else 1))
+    return mc_chroma_tiles_pallas(ref_padded, oy, ox, frac_v, frac_h,
+                                  tile=tile, bitdepth=bitdepth, block=block)
+
+
+@partial(jax.jit, static_argnames=(
+    "height", "width", "qp", "bitdepth", "platform", "clpf_strengths",
+    "cdef_damping"))
+def decode_p_frame_420(refy, refu, refv, oy, ox, fv, fh, coy, cox, cfv, cfh,
+                       coeff_y, coeff_u, coeff_v,
+                       dbl_maskv, dbl_maskh, dbl_cmaskv, dbl_cmaskh,
+                       cdef_level, cdef_sec, cdef_mask_y, cdef_mask_u,
+                       cdef_mask_v, clpf_mask_y, clpf_mask_u, clpf_mask_v,
+                       height: int, width: int, qp: int = 32,
+                       bitdepth: int = 8, platform: str | None = None,
+                       clpf_strengths: tuple = (2, 2, 2),
+                       cdef_damping: tuple = (6, 5)):
+    """Full device side of decoding a 4:2:0 P frame of 16x16 inter tiles:
+    MC (luma quarter-pel + chroma eighth-pel), dequant + inverse transform
+    on the MXU, reconstruction, then the in-loop chain deblock -> CDEF
+    (directions computed on device from the deblocked luma) -> CLPF,
+    exactly as dec/decode_frame.c:140-198 orders it.
+
+    The host supplies per-tile MC metadata, coefficients, and the
+    block-metadata masks/maps folded from deblock_data (ops.filters
+    helpers).  Returns (y, u, v) reconstructed planes.
+    """
+    from ..ops import filters as OF
+    from ..tables import CHROMA_QP
+
+    if platform is None:
+        platform = jax.default_backend()
+    nty, ntx = height // TILE, width // TILE
+    ch, cw = height // 2, width // 2
+
+    def tiles_to_frame(t, h, w, ts):
+        return (t.reshape(h // ts, w // ts, ts, ts)
+                .transpose(0, 2, 1, 3).reshape(h, w))
+
+    # ---- prediction + residual + reconstruction ----
+    pred_y = _mc(refy, oy, ox, fv, fh, bitdepth, platform)
+    pred_u = _mc_chroma(refu, coy, cox, cfv, cfh, bitdepth, platform)
+    pred_v = _mc_chroma(refv, coy, cox, cfv, cfh, bitdepth, platform)
+    qpc = int(CHROMA_QP[qp])
+    res_y = inv_transform_batch(dequantize_batch(coeff_y, qp, TILE), TILE,
+                                bitdepth)
+    res_u = inv_transform_batch(dequantize_batch(coeff_u, qpc, 8), 8,
+                                bitdepth)
+    res_v = inv_transform_batch(dequantize_batch(coeff_v, qpc, 8), 8,
+                                bitdepth)
+    y = tiles_to_frame(reconstruct_batch(res_y, pred_y, bitdepth),
+                       height, width, TILE)
+    u = tiles_to_frame(reconstruct_batch(res_u, pred_u, bitdepth),
+                       ch, cw, 8)
+    v = tiles_to_frame(reconstruct_batch(res_v, pred_v, bitdepth),
+                       ch, cw, 8)
+
+    # ---- deblock ----
+    y = OF.deblock_plane_y(y, dbl_maskv, dbl_maskh, qp, bitdepth)
+    u = OF.deblock_plane_uv(u, dbl_cmaskv, dbl_cmaskh, qpc, 1, bitdepth)
+    v = OF.deblock_plane_uv(v, dbl_cmaskv, dbl_cmaskh, qpc, 1, bitdepth)
+
+    # ---- CDEF (dirs from the deblocked luma, shared with chroma) ----
+    cs = bitdepth - 8
+    dirs, var = OF.cdef_dirs(y, cs)
+    y = OF.cdef_plane(y, dirs, var, cdef_level, cdef_sec, cdef_mask_y,
+                      8, 0, cdef_damping[0], cdef_damping[1], cs)
+    u = OF.cdef_plane(u, dirs, var, cdef_level, cdef_sec, cdef_mask_u,
+                      4, 1, cdef_damping[0] - 1, cdef_damping[1] - 1, cs)
+    v = OF.cdef_plane(v, dirs, var, cdef_level, cdef_sec, cdef_mask_v,
+                      4, 1, cdef_damping[0] - 1, cdef_damping[1] - 1, cs)
+
+    # ---- CLPF ----
+    sy, su, sv = clpf_strengths
+    if sy:
+        y = OF.clpf_plane(y, clpf_mask_y, sy << cs,
+                          bitdepth - 4 + (qp >> 4))
+    if su:
+        u = OF.clpf_plane(u, clpf_mask_u, su << cs,
+                          bitdepth - 5 + (qp >> 4))
+    if sv:
+        v = OF.clpf_plane(v, clpf_mask_v, sv << cs,
+                          bitdepth - 5 + (qp >> 4))
+    return y, u, v
+
+
+def make_example_full(height=288, width=352, qp=32, seed=0):
+    """Random-but-consistent inputs for decode_p_frame_420 plus the spec
+    objects needed to cross-check it (dd, presets)."""
+    from ..spec import inter
+    from ..ops import filters as OF
+
+    rng = np.random.default_rng(seed)
+    pad = 64
+    H, W = height, width
+    ch, cw = H // 2, W // 2
+    refy = rng.integers(0, 256, (H + 2 * pad, W + 2 * pad), dtype=np.int32)
+    refu = rng.integers(0, 256, (ch + pad, cw + pad), dtype=np.int32)
+    refv = rng.integers(0, 256, (ch + pad, cw + pad), dtype=np.int32)
+    n = (H // TILE) * (W // TILE)
+    ty, tx = np.mgrid[0:H:TILE, 0:W:TILE]
+    mvy = rng.integers(-32, 33, n)
+    mvx = rng.integers(-32, 33, n)
+    oy = (pad + ty.ravel() + (mvy >> 2) - 2).astype(np.int32)
+    ox = (pad + tx.ravel() + (mvx >> 2) - 2).astype(np.int32)
+    fv = (mvy & 3).astype(np.int32)
+    fh = (mvx & 3).astype(np.int32)
+    cty, ctx = np.mgrid[0:ch:8, 0:cw:8]
+    coy = (pad // 2 + cty.ravel() + (mvy >> 3) - 1).astype(np.int32)
+    cox = (pad // 2 + ctx.ravel() + (mvx >> 3) - 1).astype(np.int32)
+    cfv = (mvy & 7).astype(np.int32)
+    cfh = (mvx & 7).astype(np.int32)
+    coeff_y = np.zeros((n, TILE, TILE), np.int32)
+    coeff_y[:, :4, :4] = rng.integers(-80, 80, (n, 4, 4))
+    coeff_u = np.zeros((n, 8, 8), np.int32)
+    coeff_u[:, :2, :2] = rng.integers(-40, 40, (n, 2, 2))
+    coeff_v = np.zeros((n, 8, 8), np.int32)
+    coeff_v[:, :2, :2] = rng.integers(-40, 40, (n, 2, 2))
+
+    dd = inter.DeblockData(W, H)
+    nn = dd.size.shape[0]
+    dd.size[:] = 16
+    dd.cbp_y[:] = rng.integers(0, 2, nn)
+    dd.mode[:] = rng.choice([0, 2, 2, 4], nn)
+    dd.mv0[:] = np.repeat(np.stack([mvy, mvx], 1), 16, 0)[:nn]
+    dd.mv1[:] = dd.mv0
+    mv_, mh_ = OF.deblock_masks_y(dd, W, H)
+    cmv, cmh = OF.deblock_masks_uv(dd, W, H)
+
+    nfb = ((H + 63) // 64) * ((W + 63) // 64)
+    presets = [{"level": int(rng.integers(0, 12)),
+                "sec_strength": int(rng.integers(0, 4))} for _ in range(nfb)]
+    lv, sec, m_y = OF.cdef_block_maps(dd, presets, W, H, 0, 1)
+    _, _, m_u = OF.cdef_block_maps(dd, presets, W, H, 1, 1)
+    _, _, m_v = OF.cdef_block_maps(dd, presets, W, H, 2, 1)
+    cm_y, _ = OF.clpf_pixel_mask(dd, W, H, 0, 7, 1)
+    cm_u, _ = OF.clpf_pixel_mask(dd, W, H, 1, 4, 1)
+    cm_v, _ = OF.clpf_pixel_mask(dd, W, H, 2, 4, 1)
+
+    args = tuple(jnp.asarray(a) for a in (
+        refy, refu, refv, oy, ox, fv, fh, coy, cox, cfv, cfh,
+        coeff_y, coeff_u, coeff_v, mv_, mh_, cmv, cmh,
+        lv, sec, m_y, m_u, m_v, cm_y, cm_u, cm_v))
+    return args, dd, presets

@@ -168,3 +168,113 @@ def mc_luma_tiles_pallas(ref: jax.Array, oy: jax.Array, ox: jax.Array,
     )(oy.astype(jnp.int32), ox.astype(jnp.int32),
       frac_v.astype(jnp.int32), frac_h.astype(jnp.int32),
       jnp.asarray(taps), ref.astype(jnp.int32))
+
+
+from ..tables import COEFFS_CHROMA
+
+_CWR = 32   # chroma DMA window rows; power-of-2 sublanes (pltpu.roll mod)
+_CWC = 256
+
+
+def _chroma_kernel(oy_ref, ox_ref, fv_ref, fh_ref, tap_ref, ref_hbm,
+                   out_ref, win, sem, *, tile, bitdepth, block, hp, wp,
+                   nsteps):
+    """Chroma MC grid step: 4-tap eighth-pel, horizontal then vertical
+    with one rounding (spec.mc_chroma / common_kernels.c chroma path)."""
+    w = tile + 3
+    step = pl.program_id(0)
+    i0 = step * jnp.int32(block)
+    maxval = (1 << bitdepth) - 1
+
+    def aligned(i):
+        oyb = oy_ref[i]
+        oxb = ox_ref[i]
+        ay = (jnp.minimum(oyb, jnp.int32(hp - _CWR)) >> jnp.int32(3)) \
+            * jnp.int32(8)
+        ax = (jnp.minimum(oxb, jnp.int32(wp - _CWC)) >> jnp.int32(7)) \
+            * jnp.int32(128)
+        return ay, ax, oyb - ay, oxb - ax
+
+    def start_batch(step_idx, buf):
+        base = step_idx * jnp.int32(block)
+        for b in range(block):
+            bb = jnp.int32(b)
+            ay, ax, _, _ = aligned(base + bb)
+            pltpu.make_async_copy(
+                ref_hbm.at[pl.ds(ay, _CWR), pl.ds(ax, _CWC)],
+                win.at[buf, bb], sem.at[buf, bb]).start()
+
+    cur = step % jnp.int32(2)
+    nxt = (step + jnp.int32(1)) % jnp.int32(2)
+
+    @pl.when(step == 0)
+    def _():
+        start_batch(step, cur)
+
+    @pl.when(step < jnp.int32(nsteps - 1))
+    def _():
+        start_batch(step + jnp.int32(1), nxt)
+
+    for b in range(block):
+        bb = jnp.int32(b)
+        ay, ax, ry, rx = aligned(i0 + bb)
+        pltpu.make_async_copy(
+            ref_hbm.at[pl.ds(ay, _CWR), pl.ds(ax, _CWC)],
+            win.at[cur, bb], sem.at[cur, bb]).wait()
+        data = pltpu.roll(win[cur, bb], -ry, 0)
+        fvb = fv_ref[i0 + bb]
+        fhb = fh_ref[i0 + bb]
+        # the reference filters horizontally first (spec.mc_chroma), but
+        # with a single rounding after both passes the separable order
+        # commutes exactly; vertical-first keeps lane slices static
+        tmp = None
+        for m in range(4):
+            c = tap_ref[fvb * 4 + jnp.int32(m)]
+            t = c * data[m:m + tile, :]
+            tmp = t if tmp is None else tmp + t
+        tmp = pltpu.roll(tmp, -rx, 1)
+        acc = None
+        for m in range(4):
+            c = tap_ref[fhb * 4 + jnp.int32(m)]
+            t = c * tmp[:, m:m + tile]
+            acc = t if acc is None else acc + t
+        out_ref[bb] = jnp.minimum(jnp.maximum(
+            (acc + jnp.int32(2048)) >> jnp.int32(12), jnp.int32(0)),
+            jnp.int32(maxval))
+
+
+@partial(jax.jit, static_argnames=("tile", "bitdepth", "block"))
+def mc_chroma_tiles_pallas(ref: jax.Array, oy: jax.Array, ox: jax.Array,
+                           frac_v: jax.Array, frac_h: jax.Array,
+                           tile: int = 8, bitdepth: int = 8,
+                           block: int = 32):
+    """Same contract as ops.mc.mc_chroma_tiles (N divisible by `block`)."""
+    n = oy.shape[0]
+    assert n % block == 0
+    hp, wp = ref.shape
+    pr = max((hp + 7) & ~7, _CWR) - hp
+    pc = max((wp + 127) & ~127, _CWC) - wp
+    if pr or pc:
+        ref = jnp.pad(ref, ((0, pr), (0, pc)))
+        hp, wp = ref.shape
+    nsteps = n // block
+    taps = np.array(COEFFS_CHROMA, np.int32).reshape(-1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((block, tile, tile),
+                               lambda i, *_: (i, jnp.int32(0), jnp.int32(0)),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, block, _CWR, _CWC), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2, block))],
+    )
+    kern = partial(_chroma_kernel, tile=tile, bitdepth=bitdepth,
+                   block=block, hp=hp, wp=wp, nsteps=nsteps)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, tile, tile), jnp.int32),
+    )(oy.astype(jnp.int32), ox.astype(jnp.int32),
+      frac_v.astype(jnp.int32), frac_h.astype(jnp.int32),
+      jnp.asarray(taps), ref.astype(jnp.int32))
