@@ -228,3 +228,60 @@ def test_cdef_device(bd):
     assert (np.asarray(OF.cdef_plane(u, dirs, var, lv1, sec1, m1, 4, 1,
                                      damping[0] - 1, damping[1] - 1,
                                      cs)) == ru).all()
+
+
+# --------------------------------------------------------- encoder kernels
+
+def test_enc_kernels_batched():
+    from thor_tpu.enc import me
+    from thor_tpu.ops import enc_kernels as EK
+    rng = np.random.default_rng(21)
+    N, h, w = 40, 16, 16
+    org = rng.integers(0, 256, (N, h, w)).astype(np.int32)
+    cand = rng.integers(0, 256, (N, h, w)).astype(np.int32)
+    assert (np.asarray(EK.sad_batch(org, cand)) ==
+            [me.sad_calc(org[i], cand[i]) for i in range(N)]).all()
+    assert (np.asarray(EK.ssd_batch(org, cand)) ==
+            [me.ssd_calc(org[i], cand[i]) for i in range(N)]).all()
+    from thor_tpu.spec.inter import average_blocks
+    p0 = rng.integers(0, 256, (N, h, w)).astype(np.int32)
+    p1 = rng.integers(0, 256, (N, h, w)).astype(np.int32)
+    av = np.asarray(EK.avg_batch(p0, p1))
+    for i in range(4):
+        assert (av[i] == average_blocks(p0[i], p1[i])).all()
+
+    # widesad: centre at column 3 of a w+6 window
+    win = rng.integers(0, 256, (N, h, w + 6)).astype(np.int32)
+    bs, bx = EK.widesad_batch(org, win)
+    for i in range(N):
+        es, ex = me.widesad_calc(org[i], win[i], 0, 3, w, h)
+        assert int(bs[i]) == es and int(bx[i]) == ex
+
+    # fast half-pel: centre at (2,2) of an (h+5, w+5) window (the trees
+    # read rows -2..+2 and cols -2..+2 around the candidate block)
+    win2 = rng.integers(0, 256, (N, h + 5, w + 5)).astype(np.int32)
+    bs, bxx, byy = EK.fasthalf_batch(org, win2)
+    for i in range(N):
+        es, ex, ey = me.sad_calc_fasthalf(org[i], win2[i], 2, 2, w, h)
+        assert (int(bs[i]), int(bxx[i]), int(byy[i])) == (es, ex, ey)
+
+    # fast quarter-pel around each half-pel phase
+    win3 = rng.integers(0, 256, (N, h + 3, w + 3)).astype(np.int32)
+    for inx in (0, 1):
+        for iny in (0, 1):
+            bs, bxx, byy = EK.fastquarter_batch(org, win3, inx, iny)
+            for i in range(N):
+                es, ex, ey = me.sad_calc_fastquarter(
+                    org[i], win3[i], 1, 1, w, h, inx, iny)
+                assert (int(bs[i]), int(bxx[i]), int(byy[i])) == \
+                    (es, ex, ey), (i, inx, iny)
+
+
+def test_scale_down2x2_device():
+    from thor_tpu.ops.enc_kernels import scale_down2x2
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 256, (96, 128)).astype(np.int32)
+    a = src[0::2, 0::2]; b = src[1::2, 0::2]
+    c = src[0::2, 1::2]; d = src[1::2, 1::2]
+    want = (((a + b + 1) >> 1) + ((c + d + 1) >> 1)) >> 1
+    assert (np.asarray(scale_down2x2(src)) == want).all()
