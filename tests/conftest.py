@@ -99,3 +99,19 @@ def make_c444(n=4):
         v = ((yy * 2 - t) % 256).astype(np.uint8)
         fr.append(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
     return np.concatenate(fr).tobytes()
+
+
+def make_hbd12(n=6):
+    """128x96 12-bit clip (matches tests/golden/hbd12_128 generation)."""
+    W, H = 128, 96
+    rng = np.random.default_rng(99)
+    yy, xx = np.mgrid[0:H, 0:W]
+    fr = []
+    for t in range(n):
+        y = ((xx * 23 + yy * 7 + t * 31) % 4096).astype(np.uint16)
+        y[10:50, 10 + 3 * t:60 + 3 * t] = rng.integers(
+            0, 4096, (40, 50)).astype(np.uint16)
+        u = ((xx[:H // 2, :W // 2] * 11 + 2 * t) % 4096).astype(np.uint16)
+        v = ((yy[:H // 2, :W // 2] * 13 - t) % 4096).astype(np.uint16)
+        fr.append(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
+    return np.concatenate(fr).tobytes()

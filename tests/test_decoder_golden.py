@@ -78,3 +78,7 @@ def test_c444():
 
 def test_interp_ref2():
     _check("ir2_128")
+
+
+def test_hbd12():
+    _check("hbd12_128")

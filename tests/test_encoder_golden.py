@@ -93,3 +93,20 @@ def test_encode_interp_ref2():
 
 def test_encode_sync():
     _check("sync4_128", make_hdb9(9), 128, 96, 4, sync=1, encoder_speed=2)
+
+
+def test_encode_hbd_12bit():
+    """12-bit HBD end to end (defaults + -cdef 0; the reference's own
+    round-trip fails at this size with CDEF on)."""
+    from thor_tpu.enc.params import EncParams, apply_args
+    from conftest import make_hbd12
+    p = EncParams()
+    apply_args(p, ["-width", "128", "-height", "96", "-n", "6", "-qp", "32",
+                   "-f", "30", "-input_bitdepth", "12", "-bitdepth", "12",
+                   "-cdef", "0"])
+    p.validate()
+    bits, recon = encode_sequence(p, make_hbd12(6))
+    ref = open(os.path.join(GOLDEN, "hbd12_128.bit"), "rb").read()
+    rr = open(os.path.join(GOLDEN, "hbd12_128_rec.yuv"), "rb").read()
+    assert bits == ref
+    assert recon == rr
