@@ -300,6 +300,13 @@ class Decoder:
         self.b_level = 0
         self.stat_frame_type = I_FRAME
         self.bc = BitCount()
+        # JAX loop filters (ops.filters, bit-exact with spec) by default;
+        # spec numpy path kept for ground-truth debugging.  Overridable
+        # with THOR_DEVICE_FILTERS=0 (e.g. when device I/O is tunneled
+        # and per-frame transfers dominate).
+        import os as _os
+        self.use_device_filters = _os.environ.get(
+            "THOR_DEVICE_FILTERS", "1") != "0"
 
     # ----- super mode -----
     def decode_super_mode(self, s: BitReader, size, decode_this_size, ctx_index):
@@ -1102,6 +1109,20 @@ class Decoder:
             b_level = log2i(coded_phase)
             self._store_mv(b_level, gop)
 
+        if self.use_device_filters:
+            self._loop_filters_device(s, qp)
+        else:
+            self._loop_filters_spec(s, qp)
+
+        # reference sliding window
+        tmp = self.ref[MAX_REF_FRAMES - 1]
+        self.ref[1:] = self.ref[:-1]
+        self.ref[0] = tmp
+        self.ref[0].copy_from(self.rec)
+
+    def _loop_filters_spec(self, s: BitReader, qp: int):
+        """Numpy spec-layer loop filters (ground truth, slow)."""
+        h = self.h
         if h.deblocking:
             filters.deblock_frame_y(self.rec.y, self.dd, self.width,
                                     self.height, qp, h.bitdepth)
@@ -1144,19 +1165,104 @@ class Decoder:
                                    strength_v + (strength_v == 3), 4,
                                    h.bitdepth, qp, self.sub, None)
 
-        # reference sliding window
-        tmp = self.ref[MAX_REF_FRAMES - 1]
-        self.ref[1:] = self.ref[:-1]
-        self.ref[0] = tmp
-        self.ref[0].copy_from(self.rec)
-
-    def _apply_cdef(self, s: BitReader):
+    def _loop_filters_device(self, s: BitReader, qp: int):
+        """deblock -> CDEF -> CLPF as JAX kernels (ops.filters) - the
+        production path.  Bit-exact with _loop_filters_spec (kernel
+        exactness enforced by tests); stream reads (CDEF presets, CLPF
+        decision bits) stay on the host in the same order."""
+        import jax.numpy as jnp
+        from ..ops import filters as OF
         h = self.h
+        bd = h.bitdepth
+        qpc = int(CHROMA_QP[qp]) if h.subsample != 444 else qp
+        y = jnp.asarray(self.rec.y.astype(np.int32))
+        if not self.mono:
+            u = jnp.asarray(self.rec.u.astype(np.int32))
+            v = jnp.asarray(self.rec.v.astype(np.int32))
+
+        if h.deblocking:
+            mv_, mh_ = OF.deblock_masks_y(self.dd, self.width, self.height)
+            y = OF.deblock_plane_y(y, jnp.asarray(mv_), jnp.asarray(mh_),
+                                   qp, bd)
+            if not self.mono:
+                cmv, cmh = OF.deblock_masks_uv(self.dd, self.width,
+                                               self.height)
+                cmv, cmh = jnp.asarray(cmv), jnp.asarray(cmh)
+                u = OF.deblock_plane_uv(u, cmv, cmh, qpc, self.sub, bd)
+                v = OF.deblock_plane_uv(v, cmv, cmh, qpc, self.sub, bd)
+
+        # ---- CDEF (preset bits read per non-allskip fb, raster order) ----
+        presets_y, presets_uv = self._read_cdef_presets(s)
+        cs = bd - 8
+        dirs, var = OF.cdef_dirs(y, cs)
+        lv0, sec0, m0 = OF.cdef_block_maps(self.dd, presets_y, self.width,
+                                           self.height, 0, self.sub)
+        y = OF.cdef_plane(y, dirs, var, jnp.asarray(lv0), jnp.asarray(sec0),
+                          jnp.asarray(m0), 8, 0, self.cdef_damping,
+                          self.cdef_damping, cs)
+        if not self.mono:
+            lv1, sec1, m1 = OF.cdef_block_maps(self.dd, presets_uv,
+                                               self.width, self.height, 1,
+                                               self.sub)
+            _, _, m2 = OF.cdef_block_maps(self.dd, presets_uv, self.width,
+                                          self.height, 2, self.sub)
+            bsc = 4 if self.sub else 8
+            lv1, sec1 = jnp.asarray(lv1), jnp.asarray(sec1)
+            u = OF.cdef_plane(u, dirs, var, lv1, sec1, jnp.asarray(m1),
+                              bsc, 1, self.cdef_damping - 1,
+                              self.cdef_damping - 1, cs)
+            v = OF.cdef_plane(v, dirs, var, lv1, sec1, jnp.asarray(m2),
+                              bsc, 2, self.cdef_damping - 1,
+                              self.cdef_damping - 1, cs)
+
+        # ---- CLPF ----
+        if h.clpf:
+            strength_y = s.get_flc(2)
+            strength_u = s.get_flc(2)
+            strength_v = s.get_flc(2)
+            if strength_y:
+                fb_size_log2 = s.get_flc(2) + 4
+                enable_fb = fb_size_log2 != 4
+                if fb_size_log2 == 4:
+                    fb_size_log2 = 7
+                if enable_fb:
+                    nbits = filters.count_clpf_decisions(
+                        self.dd, self.width, self.height, 0, fb_size_log2,
+                        self.sub)
+                    bits = [s.get_flc(1) for _ in range(nbits)]
+                else:
+                    bits = None
+                mask, _ = OF.clpf_pixel_mask(self.dd, self.width,
+                                             self.height, 0, fb_size_log2,
+                                             self.sub, decision_bits=bits)
+                y = OF.clpf_plane(y, jnp.asarray(mask),
+                                  (strength_y + (strength_y == 3)) << cs,
+                                  bd - 4 + (qp >> 4))
+            if strength_u and not self.mono:
+                mask, _ = OF.clpf_pixel_mask(self.dd, self.width,
+                                             self.height, 1, 4, self.sub)
+                u = OF.clpf_plane(u, jnp.asarray(mask),
+                                  (strength_u + (strength_u == 3)) << cs,
+                                  bd - 5 + (qp >> 4))
+            if strength_v and not self.mono:
+                mask, _ = OF.clpf_pixel_mask(self.dd, self.width,
+                                             self.height, 2, 4, self.sub)
+                v = OF.clpf_plane(v, jnp.asarray(mask),
+                                  (strength_v + (strength_v == 3)) << cs,
+                                  bd - 5 + (qp >> 4))
+
+        self.rec.y[:] = np.asarray(y).astype(self.rec.y.dtype)
+        if not self.mono:
+            self.rec.u[:] = np.asarray(u).astype(self.rec.u.dtype)
+            self.rec.v[:] = np.asarray(v).astype(self.rec.v.dtype)
+
+    def _read_cdef_presets(self, s: BitReader):
+        """Read per-fb CDEF preset indices; returns (presets_y, presets_uv)
+        as dicts for cdef_block_maps (dec/decode_frame.c:152-175)."""
         fb = 6
         nfb_h = (self.height + 63) >> fb
         nfb_w = (self.width + 63) >> fb
-        presets_y = []
-        presets_uv = []
+        presets_y, presets_uv = [], []
         for k in range(nfb_h):
             for l in range(nfb_w):
                 xpos, ypos = l << fb, k << fb
@@ -1174,6 +1280,11 @@ class Decoder:
                     presets_uv.append({
                         "level": p["pri_strength1"] * 2 + p["skip_condition1"],
                         "sec_strength": p["sec_strength1"]})
+        return presets_y, presets_uv
+
+    def _apply_cdef(self, s: BitReader):
+        h = self.h
+        presets_y, presets_uv = self._read_cdef_presets(s)
         damping = (self.cdef_damping, self.cdef_damping)
         dirs = {}
         filters.cdef_frame(self.rec.y, self.dd, self.width, self.height, 0,
