@@ -3,9 +3,11 @@ device) cross-checked bit-exactly against the spec-layer chain."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 
-def test_decode_p_frame_420_vs_spec_chain():
+@pytest.mark.parametrize("bd,qp", [(8, 32), (10, 35)])
+def test_decode_p_frame_420_vs_spec_chain(bd, qp):
     from thor_tpu.models.pipeline import decode_p_frame_420, make_example_full
     from thor_tpu.spec import filters as SF
     from thor_tpu.ops.mc import mc_luma_tiles, mc_chroma_tiles
@@ -13,9 +15,10 @@ def test_decode_p_frame_420_vs_spec_chain():
                                         dequantize_batch, reconstruct_batch)
     from thor_tpu.tables import CHROMA_QP
 
-    H, W, qp = 96, 128, 32
-    args, dd, presets = make_example_full(H, W, qp)
+    H, W = 96, 128
+    args, dd, presets = make_example_full(H, W, qp, bitdepth=bd)
     y, u, v = decode_p_frame_420(*args, height=H, width=W, qp=qp,
+                                 bitdepth=bd,
                                  platform=jax.default_backend(),
                                  clpf_strengths=(2, 1, 4),
                                  cdef_damping=(6, 5))
@@ -29,27 +32,27 @@ def test_decode_p_frame_420_vs_spec_chain():
                 .transpose(0, 2, 1, 3).reshape(h, w))
 
     qpc = int(CHROMA_QP[qp])
-    py = mc_luma_tiles(refy, oy, ox, fv, fh, tile=16)
-    pu = mc_chroma_tiles(refu, coy, cox, cfv, cfh, tile=8)
-    pv = mc_chroma_tiles(refv, coy, cox, cfv, cfh, tile=8)
-    ry = inv_transform_batch(dequantize_batch(cy_, qp, 16), 16, 8)
-    ru = inv_transform_batch(dequantize_batch(cu_, qpc, 8), 8, 8)
-    rv = inv_transform_batch(dequantize_batch(cv_, qpc, 8), 8, 8)
-    ey = t2f(np.asarray(reconstruct_batch(ry, py, 8)), H, W, 16)
-    eu = t2f(np.asarray(reconstruct_batch(ru, pu, 8)), H // 2, W // 2, 8)
-    ev = t2f(np.asarray(reconstruct_batch(rv, pv, 8)), H // 2, W // 2, 8)
+    py = mc_luma_tiles(refy, oy, ox, fv, fh, tile=16, bitdepth=bd)
+    pu = mc_chroma_tiles(refu, coy, cox, cfv, cfh, tile=8, bitdepth=bd)
+    pv = mc_chroma_tiles(refv, coy, cox, cfv, cfh, tile=8, bitdepth=bd)
+    ry = inv_transform_batch(dequantize_batch(cy_, qp, 16), 16, bd)
+    ru = inv_transform_batch(dequantize_batch(cu_, qpc, 8), 8, bd)
+    rv = inv_transform_batch(dequantize_batch(cv_, qpc, 8), 8, bd)
+    ey = t2f(np.asarray(reconstruct_batch(ry, py, bd)), H, W, 16)
+    eu = t2f(np.asarray(reconstruct_batch(ru, pu, bd)), H // 2, W // 2, 8)
+    ev = t2f(np.asarray(reconstruct_batch(rv, pv, bd)), H // 2, W // 2, 8)
     ey, eu, ev = (a.astype(np.int32) for a in (ey, eu, ev))
-    SF.deblock_frame_y(ey, dd, W, H, qp, 8)
-    SF.deblock_frame_uv(eu, ev, dd, W, H, qpc, 1, 8)
+    SF.deblock_frame_y(ey, dd, W, H, qp, bd)
+    SF.deblock_frame_uv(eu, ev, dd, W, H, qpc, 1, bd)
     for pr in presets:
         pr.setdefault("skip_condition", 0)
     dirs_out = {}
-    SF.cdef_frame(ey, dd, W, H, 0, 1, 8, presets, [6, 5], dirs_out)
-    SF.cdef_frame(eu, dd, W, H, 1, 1, 8, presets, [6, 5], dirs_out)
-    SF.cdef_frame(ev, dd, W, H, 2, 1, 8, presets, [6, 5], dirs_out)
-    SF.clpf_frame(ey, dd, W, 0, 2, 7, 8, qp, 1, decision_bits=None)
-    SF.clpf_frame(eu, dd, W, 1, 1, 4, 8, qp, 1, decision_bits=None)
-    SF.clpf_frame(ev, dd, W, 2, 4, 4, 8, qp, 1, decision_bits=None)
+    SF.cdef_frame(ey, dd, W, H, 0, 1, bd, presets, [6, 5], dirs_out)
+    SF.cdef_frame(eu, dd, W, H, 1, 1, bd, presets, [6, 5], dirs_out)
+    SF.cdef_frame(ev, dd, W, H, 2, 1, bd, presets, [6, 5], dirs_out)
+    SF.clpf_frame(ey, dd, W, 0, 2, 7, bd, qp, 1, decision_bits=None)
+    SF.clpf_frame(eu, dd, W, 1, 1, 4, bd, qp, 1, decision_bits=None)
+    SF.clpf_frame(ev, dd, W, 2, 4, 4, bd, qp, 1, decision_bits=None)
     assert (y == ey).all()
     assert (u == eu).all()
     assert (v == ev).all()

@@ -234,7 +234,7 @@ def decode_p_frame_420(refy, refu, refv, oy, ox, fv, fh, coy, cox, cfv, cfh,
     return y, u, v
 
 
-def make_example_full(height=288, width=352, qp=32, seed=0):
+def make_example_full(height=288, width=352, qp=32, seed=0, bitdepth=8):
     """Random-but-consistent inputs for decode_p_frame_420 plus the spec
     objects needed to cross-check it (dd, presets)."""
     from ..spec import inter
@@ -242,11 +242,12 @@ def make_example_full(height=288, width=352, qp=32, seed=0):
 
     rng = np.random.default_rng(seed)
     pad = 64
+    maxv = (1 << bitdepth)
     H, W = height, width
     ch, cw = H // 2, W // 2
-    refy = rng.integers(0, 256, (H + 2 * pad, W + 2 * pad), dtype=np.int32)
-    refu = rng.integers(0, 256, (ch + pad, cw + pad), dtype=np.int32)
-    refv = rng.integers(0, 256, (ch + pad, cw + pad), dtype=np.int32)
+    refy = rng.integers(0, maxv, (H + 2 * pad, W + 2 * pad), dtype=np.int32)
+    refu = rng.integers(0, maxv, (ch + pad, cw + pad), dtype=np.int32)
+    refv = rng.integers(0, maxv, (ch + pad, cw + pad), dtype=np.int32)
     n = (H // TILE) * (W // TILE)
     ty, tx = np.mgrid[0:H:TILE, 0:W:TILE]
     mvy = rng.integers(-32, 33, n)
@@ -292,3 +293,35 @@ def make_example_full(height=288, width=352, qp=32, seed=0):
         coeff_y, coeff_u, coeff_v, mv_, mh_, cmv, cmh,
         lv, sec, m_y, m_u, m_v, cm_y, cm_u, cm_v))
     return args, dd, presets
+
+
+def multi_stream_full(mesh, height=64, width=128, qp=32):
+    """Full-pipeline multi-stream decode step, data-parallel over the
+    mesh's first axis (independent bitstreams per device group).
+
+    Returns (jitted_fn, sharded_args): vmap of decode_p_frame_420 (MC,
+    transforms, recon, deblock, CDEF, CLPF) over a stream batch laid out
+    with jax.sharding.  The tile-sharded core variant (multi_stream_step)
+    covers the spatial axis; together they exercise dp x sp shardings.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axes = mesh.axis_names
+    n_stream = int(np.prod([mesh.shape[a] for a in axes]))
+    platform = mesh.devices.flat[0].platform
+
+    batches = []
+    for sidx in range(n_stream):
+        args, _dd, _pr = make_example_full(height, width, qp, seed=sidx)
+        batches.append(args)
+    stacked = tuple(jnp.stack([b[i] for b in batches])
+                    for i in range(len(batches[0])))
+    sh = NamedSharding(mesh, P(axes))  # batch dim over the whole mesh
+    args = tuple(jax.device_put(a, sh) for a in stacked)
+
+    @jax.jit
+    def step(*a):
+        return jax.vmap(lambda *one: decode_p_frame_420(
+            *one, height=height, width=width, qp=qp,
+            platform=platform, clpf_strengths=(2, 1, 4)))(*a)
+
+    return step, args
