@@ -1,0 +1,46 @@
+"""Batched lockstep ME vs the host reference search, decision-exact."""
+import numpy as np
+import pytest
+
+from thor_tpu.enc import me
+from thor_tpu.ops.me_batch import motion_estimate_batch
+from thor_tpu.frame import YuvFrame
+
+
+class _P:
+    encoder_speed = 1
+
+
+@pytest.mark.parametrize("size,sign", [(16, 0), (16, 1), (8, 0), (32, 0)])
+def test_motion_estimate_batch(size, sign):
+    rng = np.random.default_rng(7 + size + sign)
+    W, H, pad = 128, 96, 160
+    fr = YuvFrame(W, H, 420, pad, 8, 8)
+    fr.y[:] = rng.integers(0, 256, (H, W))
+    fr.pad_frame()
+
+    N, maxc = 24, 4
+    ys = rng.integers(0, (H - size) // 8, N) * 8
+    xs = rng.integers(0, (W - size) // 8, N) * 8
+    orgs = rng.integers(0, 256, (N, size, size)).astype(np.int32)
+    mvps = rng.integers(-20, 21, (N, 2))
+    lams = rng.uniform(1.0, 8.0, N)
+    cn = rng.integers(1, maxc + 1, N)
+    cy = rng.integers(-12, 13, (N, maxc))
+    cx = rng.integers(-12, 13, (N, maxc))
+
+    gs, gy, gx = (np.asarray(a) for a in motion_estimate_batch(
+        orgs, fr.y_full.astype(np.int32), pad, ys.astype(np.int32),
+        xs.astype(np.int32), mvps[:, 0].astype(np.int32),
+        mvps[:, 1].astype(np.int32), lams, cy.astype(np.int32),
+        cx.astype(np.int32), cn.astype(np.int32),
+        width=size, height=size, size=size, sign=sign,
+        fwidth=W, fheight=H, bitdepth=8, maxcand=maxc))
+
+    for i in range(N):
+        mvcand = [(int(cy[i, j]), int(cx[i, j])) for j in range(maxc)]
+        sad, mv = me.motion_estimate(
+            orgs[i], fr, int(ys[i]), int(xs[i]), size, size, size,
+            (0, 0), (int(mvps[i, 0]), int(mvps[i, 1])), float(lams[i]),
+            _P(), sign, W, H, mvcand, [int(cn[i])], 0, 8)
+        assert int(gs[i]) == sad and (int(gy[i]), int(gx[i])) == mv, i

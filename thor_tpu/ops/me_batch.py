@@ -1,0 +1,213 @@
+"""Batched lockstep motion estimation (encoder plan milestone 2).
+
+Replicates the reference's per-PU search trajectory
+(enc/encode_block.c:517-711, LC/MC path: candidate list + hexagon
+full-pel refinement + fast bilinear sub-pel) for a whole batch of
+independent blocks at once, decision-for-decision: every stage evaluates
+its candidates for all blocks in lockstep, with per-block masks carrying
+each block's own control flow (candidate counts, hexagon direction
+windows, early termination).  Bit-exact with enc.me.motion_estimate for
+encoder_speed > 0 without bipred-telescope (the LDB low/medium paths).
+
+This is the integration target for the wavefront encoder
+(docs/ENCODER_TPU_PLAN.md): the decision pass calls this once per
+(depth, size) over all SBs on an anti-diagonal.  Runs on any JAX backend;
+on TPU the window gathers become the Pallas DMA pattern of ops/mc_pallas.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .enc_kernels import (fasthalf_batch, fastquarter_batch, sad_batch,
+                          widesad_batch)
+
+MAX_MV_EXT = 144
+MAX_UINT32 = (1 << 32) - 1
+
+
+def _trunc4(v):
+    """C truncation toward zero of v/4 (vectorized)."""
+    return jnp.where(v >= 0, v >> 2, -((-v) >> 2))
+
+
+def clip_mv_batch(mvy, mvx, ypos, xpos, fwidth, fheight, bwidth, bheight,
+                  sign):
+    """inter_prediction.c:51-63 over arrays."""
+    if sign:
+        mvy, mvx = -mvy, -mvx
+    mvy = jnp.where(ypos + _trunc4(mvy) < -MAX_MV_EXT,
+                    4 * (-MAX_MV_EXT - ypos), mvy)
+    mvy = jnp.where(ypos + _trunc4(mvy) + bheight > fheight + MAX_MV_EXT,
+                    4 * (fheight + MAX_MV_EXT - ypos - bheight), mvy)
+    mvx = jnp.where(xpos + _trunc4(mvx) < -MAX_MV_EXT,
+                    4 * (-MAX_MV_EXT - xpos), mvx)
+    mvx = jnp.where(xpos + _trunc4(mvx) + bwidth > fwidth + MAX_MV_EXT,
+                    4 * (fwidth + MAX_MV_EXT - xpos - bwidth), mvx)
+    if sign:
+        mvy, mvx = -mvy, -mvx
+    return mvy, mvx
+
+
+def quote_mv_bits_batch(dy, dx):
+    """enc/encode_block.c:467-515 over arrays."""
+    def ln(mvabs):
+        return jnp.where(
+            mvabs < 1, 2,
+            jnp.where(mvabs < 2, 4,
+                      jnp.where(mvabs < 4, 5,
+                                jnp.where(mvabs < 36,
+                                          6 + ((mvabs - 4) >> 3),
+                                          11 + ((mvabs - 36) >> 4)))))
+    return ln(jnp.abs(dx)) + ln(jnp.abs(dy))
+
+
+def _mv_cost(lam, dy, dx):
+    """int(lam * quote_mv_bits + 0.5) with C float->int truncation."""
+    bits = quote_mv_bits_batch(dy, dx)
+    return jnp.floor(lam * bits.astype(jnp.float64) + 0.5).astype(jnp.int64)
+
+
+def _gather(ref, y0, x0, h, w):
+    """[N,h,w] windows at per-block (y0,x0) from the padded plane."""
+    return jax.vmap(
+        lambda a, b: jax.lax.dynamic_slice(ref, (a, b), (h, w)))(
+        y0.astype(jnp.int32), x0.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("width", "height", "size", "sign",
+                                   "fwidth", "fheight", "bitdepth",
+                                   "maxcand"))
+def motion_estimate_batch(org, ref_full, pad, ypos, xpos, mvp_y, mvp_x,
+                          lam, cand_y, cand_x, cand_n, width: int,
+                          height: int, size: int, sign: int, fwidth: int,
+                          fheight: int, bitdepth: int = 8,
+                          maxcand: int = 4):
+    """Lockstep ME for N same-sized PUs (the LC/MC non-telescope path).
+
+    org: [N,h,w] original blocks; ref_full: padded reference plane;
+    ypos/xpos: [N] parent block positions; mvp_*: [N] MV predictors
+    (quarter-pel); lam: [N] lambdas; cand_*: [N,maxcand] full-pel
+    candidates with per-block counts cand_n.  Returns (sad [N],
+    mv_y [N], mv_x [N]) identical to enc.me.motion_estimate per block.
+    """
+    n = org.shape[0]
+    s = -1 if sign else 1
+    shift = bitdepth - 8
+    y0 = pad + ypos            # per-block reference anchors
+    x0 = pad + xpos
+    org = org.astype(jnp.int32)
+
+    min_sad = jnp.full((n,), MAX_UINT32, jnp.int64)
+    opt_y = jnp.zeros((n,), jnp.int32)
+    opt_x = jnp.zeros((n,), jnp.int32)
+
+    def plain_sad(cy, cx):
+        win = _gather(ref_full, y0 + s * _ashr2(cy), x0 + s * _ashr2(cx),
+                      height, width)
+        return sad_batch(org, win).astype(jnp.int64)
+
+    def _ashr2(v):
+        return v >> 2   # trajectory MVs stay full-pel multiples here
+
+    # ---- candidate stage (enc/encode_block.c:575-605) ----
+    for idx in range(maxcand):
+        live = idx < cand_n
+        cy = cand_y[:, idx] << 2
+        cx = cand_x[:, idx] << 2
+        cy, cx = clip_mv_batch(cy, cx, ypos, xpos, fwidth, fheight, size,
+                               size, sign)
+        if size == 16:
+            win = _gather(ref_full, y0 + s * _ashr2(cy),
+                          x0 + s * _ashr2(cx) - 3, height, width + 6)
+            sad, xoff = widesad_batch(org, win)
+            sad = sad.astype(jnp.int64)
+            cx = cx + ((s * xoff) << 2)
+        else:
+            sad = plain_sad(cy, cx)
+        sad = (sad >> shift) + _mv_cost(lam, cy - mvp_y, cx - mvp_x)
+        better = live & (sad < min_sad)
+        min_sad = jnp.where(better, sad, min_sad)
+        opt_y = jnp.where(better, cy, opt_y)
+        opt_x = jnp.where(better, cx, opt_x)
+
+    ref_y, ref_x = opt_y, opt_x
+
+    # ---- hexagon full-pel refinement (enc/encode_block.c:607-641) ----
+    diy = jnp.asarray(np.array([1, 2, 1, -1, -2, -1], np.int32))
+    dix = jnp.asarray(np.array([-1, 0, 1, 1, 0, -1], np.int32))
+    maxsteps = 6 if size <= 16 else 1
+    start = jnp.zeros((n,), jnp.int32)
+    end = jnp.full((n,), 5, jnp.int32)
+    active = jnp.ones((n,), bool)
+    for _step in range(1, maxsteps):
+        best_dir = jnp.full((n,), -1, jnp.int32)
+        # visit order: start, start+1, ... until end (mod 6): evaluate the
+        # six rotations in per-block order via position-in-sequence masks
+        length = ((end - start) % 6) + 1
+        for pos in range(6):
+            direc = (start + pos) % 6
+            live = active & (pos < length)
+            cy = ref_y + dix[direc] * 4   # NB: C indexes dix with the
+            cx = ref_x + diy[direc] * 4   # y-delta and diy with x (quirk)
+            cy, cx = clip_mv_batch(cy, cx, ypos, xpos, fwidth, fheight,
+                                   size, size, sign)
+            sad = (plain_sad(cy, cx) >> shift) + \
+                _mv_cost(lam, cy - mvp_y, cx - mvp_x)
+            better = live & (sad < min_sad)
+            min_sad = jnp.where(better, sad, min_sad)
+            opt_y = jnp.where(better, cy, opt_y)
+            opt_x = jnp.where(better, cx, opt_x)
+            best_dir = jnp.where(better, direc, best_dir)
+        ref_y, ref_x = opt_y, opt_x
+        start = jnp.where(best_dir != 0, best_dir - 1, 5)
+        end = jnp.where(start + 2 >= 6, start + 2 - 6, start + 2)
+        active = active & (best_dir >= 0)
+
+    # ---- fast bilinear sub-pel (enc/encode_block.c:653-700) ----
+    cmin = min_sad
+    mr_y = ref_y * s
+    mr_x = ref_x * s
+    hwin = _gather(ref_full, y0 + (mr_y >> 2) - 2, x0 + (mr_x >> 2) - 2,
+                   height + 4, width + 4)
+    hsad, spx, spy = fasthalf_batch(org, hwin)
+    hsad = (hsad.astype(jnp.int64) >> shift) + \
+        _mv_cost(lam, mr_y + s * spy - mvp_y, mr_x + s * spx - mvp_x)
+    better = hsad < cmin
+    cmin = jnp.where(better, hsad, cmin)
+    ydelta_hp = jnp.where(better, s * spy, 0)
+    xdelta_hp = jnp.where(better, s * spx, 0)
+
+    spx, spy = xdelta_hp, ydelta_hp
+    mr_y = opt_y + s * spy
+    mr_x = opt_x + s * spx
+    opt_y = opt_y + ydelta_hp
+    opt_x = opt_x + xdelta_hp
+
+    # NB: C applies the sign AFTER the shift here (s*(mr>>2)), unlike the
+    # half-pel centre where it multiplies the value first
+    qy = y0 + s * (mr_y >> 2) - 1
+    qx = x0 + s * (mr_x >> 2) - 1
+    qwin = _gather(ref_full, qy, qx, height + 2, width + 2)
+    # the quarter search is specialised on the half-pel phase flags; all
+    # four (inx,iny) variants are evaluated and selected per block
+    ydelta_qp = jnp.zeros((n,), jnp.int32)
+    xdelta_qp = jnp.zeros((n,), jnp.int32)
+    for inx in (0, 1):
+        for iny in (0, 1):
+            qsad, qx2, qy2 = fastquarter_batch(org, qwin, inx, iny)
+            qsad = (qsad.astype(jnp.int64) >> shift) + \
+                _mv_cost(lam, mr_y + s * qy2 - mvp_y,
+                         mr_x + s * qx2 - mvp_x)
+            phase = ((spx != 0) == bool(inx)) & ((spy != 0) == bool(iny))
+            better = phase & (qsad < cmin)
+            cmin = jnp.where(better, qsad, cmin)
+            ydelta_qp = jnp.where(better, s * qy2, ydelta_qp)
+            xdelta_qp = jnp.where(better, s * qx2, xdelta_qp)
+
+    opt_y = opt_y + ydelta_qp
+    opt_x = opt_x + xdelta_qp
+    return jnp.minimum(cmin, min_sad), opt_y, opt_x
