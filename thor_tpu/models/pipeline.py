@@ -189,8 +189,15 @@ def decode_p_frame_420(refy, refu, refv, oy, ox, fv, fh, coy, cox, cfv, cfh,
 
     # ---- prediction + residual + reconstruction ----
     pred_y = _mc(refy, oy, ox, fv, fh, bitdepth, platform)
-    pred_u = _mc_chroma(refu, coy, cox, cfv, cfh, bitdepth, platform)
-    pred_v = _mc_chroma(refv, coy, cox, cfv, cfh, bitdepth, platform)
+    if platform == "tpu" and coy.shape[0] % 16 == 0:
+        # U/V share per-tile metadata: one kernel, two DMA streams
+        from ..ops.mc_pallas import mc_chroma_uv_tiles_pallas
+        pred_u, pred_v = mc_chroma_uv_tiles_pallas(
+            refu, refv, coy, cox, cfv, cfh, tile=8, bitdepth=bitdepth,
+            block=16)
+    else:
+        pred_u = _mc_chroma(refu, coy, cox, cfv, cfh, bitdepth, platform)
+        pred_v = _mc_chroma(refv, coy, cox, cfv, cfh, bitdepth, platform)
     qpc = int(CHROMA_QP[qp])
     res_y = inv_transform_batch(dequantize_batch(coeff_y, qp, TILE), TILE,
                                 bitdepth)

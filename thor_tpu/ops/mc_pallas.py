@@ -278,3 +278,114 @@ def mc_chroma_tiles_pallas(ref: jax.Array, oy: jax.Array, ox: jax.Array,
     )(oy.astype(jnp.int32), ox.astype(jnp.int32),
       frac_v.astype(jnp.int32), frac_h.astype(jnp.int32),
       jnp.asarray(taps), ref.astype(jnp.int32))
+
+
+def _chroma_uv_kernel(oy_ref, ox_ref, fv_ref, fh_ref, tap_ref, refu_hbm,
+                      refv_hbm, outu_ref, outv_ref, win, sem, *, tile,
+                      bitdepth, block, hp, wp, nsteps):
+    """U and V share per-tile offsets/fractions: one scalar pass drives
+    two DMAs and two filters per tile (halves the issue overhead of two
+    separate plane calls)."""
+    step = pl.program_id(0)
+    i0 = step * jnp.int32(block)
+    maxval = (1 << bitdepth) - 1
+
+    def aligned(i):
+        oyb = oy_ref[i]
+        oxb = ox_ref[i]
+        ay = (jnp.minimum(oyb, jnp.int32(hp - _CWR)) >> jnp.int32(3)) \
+            * jnp.int32(8)
+        ax = (jnp.minimum(oxb, jnp.int32(wp - _CWC)) >> jnp.int32(7)) \
+            * jnp.int32(128)
+        return ay, ax, oyb - ay, oxb - ax
+
+    def start_batch(step_idx, buf):
+        base = step_idx * jnp.int32(block)
+        for b in range(block):
+            bb = jnp.int32(b)
+            ay, ax, _, _ = aligned(base + bb)
+            for p, hbm in ((0, refu_hbm), (1, refv_hbm)):
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(ay, _CWR), pl.ds(ax, _CWC)],
+                    win.at[buf, bb, jnp.int32(p)],
+                    sem.at[buf, bb, jnp.int32(p)]).start()
+
+    cur = step % jnp.int32(2)
+    nxt = (step + jnp.int32(1)) % jnp.int32(2)
+
+    @pl.when(step == 0)
+    def _():
+        start_batch(step, cur)
+
+    @pl.when(step < jnp.int32(nsteps - 1))
+    def _():
+        start_batch(step + jnp.int32(1), nxt)
+
+    for b in range(block):
+        bb = jnp.int32(b)
+        ay, ax, ry, rx = aligned(i0 + bb)
+        fvb = fv_ref[i0 + bb]
+        fhb = fh_ref[i0 + bb]
+        for p, hbm, out in ((0, refu_hbm, outu_ref), (1, refv_hbm, outv_ref)):
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(ay, _CWR), pl.ds(ax, _CWC)],
+                win.at[cur, bb, jnp.int32(p)],
+                sem.at[cur, bb, jnp.int32(p)]).wait()
+            data = pltpu.roll(win[cur, bb, jnp.int32(p)], -ry, 0)
+            tmp = None
+            for m in range(4):
+                c = tap_ref[fvb * 4 + jnp.int32(m)]
+                t = c * data[m:m + tile, :]
+                tmp = t if tmp is None else tmp + t
+            tmp = pltpu.roll(tmp, -rx, 1)
+            acc = None
+            for m in range(4):
+                c = tap_ref[fhb * 4 + jnp.int32(m)]
+                t = c * tmp[:, m:m + tile]
+                acc = t if acc is None else acc + t
+            out[bb] = jnp.minimum(jnp.maximum(
+                (acc + jnp.int32(2048)) >> jnp.int32(12), jnp.int32(0)),
+                jnp.int32(maxval))
+
+
+@partial(jax.jit, static_argnames=("tile", "bitdepth", "block"))
+def mc_chroma_uv_tiles_pallas(refu: jax.Array, refv: jax.Array,
+                              oy: jax.Array, ox: jax.Array,
+                              frac_v: jax.Array, frac_h: jax.Array,
+                              tile: int = 8, bitdepth: int = 8,
+                              block: int = 16):
+    """MC both chroma planes with shared per-tile metadata.  Returns
+    (pred_u, pred_v), each [N, tile, tile], identical to two
+    mc_chroma_tiles_pallas calls."""
+    n = oy.shape[0]
+    assert n % block == 0 and refu.shape == refv.shape
+    hp, wp = refu.shape
+    pr = max((hp + 7) & ~7, _CWR) - hp
+    pc = max((wp + 127) & ~127, _CWC) - wp
+    if pr or pc:
+        refu = jnp.pad(refu, ((0, pr), (0, pc)))
+        refv = jnp.pad(refv, ((0, pr), (0, pc)))
+        hp, wp = refu.shape
+    nsteps = n // block
+    taps = np.array(COEFFS_CHROMA, np.int32).reshape(-1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec((block, tile, tile),
+                                lambda i, *_: (i, jnp.int32(0),
+                                               jnp.int32(0)),
+                                memory_space=pltpu.VMEM)] * 2,
+        scratch_shapes=[pltpu.VMEM((2, block, 2, _CWR, _CWC), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2, block, 2))],
+    )
+    kern = partial(_chroma_uv_kernel, tile=tile, bitdepth=bitdepth,
+                   block=block, hp=hp, wp=wp, nsteps=nsteps)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, tile, tile), jnp.int32)] * 2,
+    )(oy.astype(jnp.int32), ox.astype(jnp.int32),
+      frac_v.astype(jnp.int32), frac_h.astype(jnp.int32),
+      jnp.asarray(taps), refu.astype(jnp.int32), refv.astype(jnp.int32))
