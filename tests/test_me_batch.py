@@ -44,3 +44,44 @@ def test_motion_estimate_batch(size, sign):
             (0, 0), (int(mvps[i, 0]), int(mvps[i, 1])), float(lams[i]),
             _P(), sign, W, H, mvcand, [int(cn[i])], 0, 8)
         assert int(gs[i]) == sad and (int(gy[i]), int(gx[i])) == mv, i
+
+
+@pytest.mark.parametrize("widesad32", [True, False])
+def test_motion_estimate_batch_telescope(widesad32):
+    """size-16 bipred path: telescope + candidates + hexagon + subpel."""
+    rng = np.random.default_rng(31 + widesad32)
+    W, H, pad, size = 192, 128, 160, 16
+    fr = YuvFrame(W, H, 420, pad, 8, 8)
+    fr.y[:] = rng.integers(0, 256, (H, W))
+    fr.pad_frame()
+
+    class _PS:
+        encoder_speed = 1 if widesad32 else 2
+
+    N, maxc = 16, 2
+    ys = rng.integers(0, (H - size) // 8, N) * 8
+    xs = rng.integers(0, (W - size) // 8, N) * 8
+    orgs = rng.integers(0, 256, (N, size, size)).astype(np.int32)
+    mvps = rng.integers(-20, 21, (N, 2))
+    lams = rng.uniform(1.0, 8.0, N)
+    cn = rng.integers(1, maxc + 1, N)
+    cy = rng.integers(-12, 13, (N, maxc))
+    cx = rng.integers(-12, 13, (N, maxc))
+    mvc = (6, -10)
+
+    gs, gy, gx = (np.asarray(a) for a in motion_estimate_batch(
+        orgs, fr.y_full.astype(np.int32), pad, ys.astype(np.int32),
+        xs.astype(np.int32), mvps[:, 0].astype(np.int32),
+        mvps[:, 1].astype(np.int32), lams, cy.astype(np.int32),
+        cx.astype(np.int32), cn.astype(np.int32),
+        width=size, height=size, size=size, sign=0,
+        fwidth=W, fheight=H, bitdepth=8, maxcand=maxc,
+        telescope=True, widesad32=widesad32, mvc_y=mvc[0], mvc_x=mvc[1]))
+
+    for i in range(N):
+        mvcand = [(int(cy[i, j]), int(cx[i, j])) for j in range(maxc)]
+        sad, mv = me.motion_estimate(
+            orgs[i], fr, int(ys[i]), int(xs[i]), size, size, size,
+            mvc, (int(mvps[i, 0]), int(mvps[i, 1])), float(lams[i]),
+            _PS(), 0, W, H, mvcand, [int(cn[i])], 1, 8)
+        assert int(gs[i]) == sad and (int(gy[i]), int(gx[i])) == mv, i

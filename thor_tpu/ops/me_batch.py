@@ -80,19 +80,26 @@ def _gather(ref, y0, x0, h, w):
 
 @partial(jax.jit, static_argnames=("width", "height", "size", "sign",
                                    "fwidth", "fheight", "bitdepth",
-                                   "maxcand"))
+                                   "maxcand", "telescope", "widesad32",
+                                   "mvc_y", "mvc_x"))
 def motion_estimate_batch(org, ref_full, pad, ypos, xpos, mvp_y, mvp_x,
                           lam, cand_y, cand_x, cand_n, width: int,
                           height: int, size: int, sign: int, fwidth: int,
                           fheight: int, bitdepth: int = 8,
-                          maxcand: int = 4):
-    """Lockstep ME for N same-sized PUs (the LC/MC non-telescope path).
+                          maxcand: int = 4, telescope: bool = False,
+                          widesad32: bool = False, mvc_y: int = 0,
+                          mvc_x: int = 0):
+    """Lockstep ME for N same-sized PUs (the reference search, fast
+    sub-pel path: encoder_speed > 0).
 
     org: [N,h,w] original blocks; ref_full: padded reference plane;
     ypos/xpos: [N] parent block positions; mvp_*: [N] MV predictors
     (quarter-pel); lam: [N] lambdas; cand_*: [N,maxcand] full-pel
-    candidates with per-block counts cand_n.  Returns (sad [N],
-    mv_y [N], mv_x [N]) identical to enc.me.motion_estimate per block.
+    candidates with per-block counts cand_n.  telescope enables the
+    +-64 coarse-to-fine grid stage ((size==16 and bipred) or speed==0;
+    mvc_* is the common centre, widesad32 the speed<2 size-16 fast row
+    scan at step 32).  Returns (sad [N], mv_y [N], mv_x [N]) identical
+    to enc.me.motion_estimate per block.
     """
     n = org.shape[0]
     s = -1 if sign else 1
@@ -112,6 +119,38 @@ def motion_estimate_batch(org, ref_full, pad, ypos, xpos, mvp_y, mvp_x,
 
     def _ashr2(v):
         return v >> 2   # trajectory MVs stay full-pel multiples here
+
+    # ---- telescope stage (enc/encode_block.c:541-573) ----
+    if telescope:
+        ref_y = jnp.full((n,), ((mvc_y + 2) >> 2) << 2, jnp.int32)
+        ref_x = jnp.full((n,), ((mvc_x + 2) >> 2) << 2, jnp.int32)
+        step = 32
+        while step >= 4:
+            rng_ = 2 * step
+            for k in range(-rng_, rng_ + 1, step):
+                for l in range(-rng_, rng_ + 1, step):
+                    if step < 32 and k == 0 and l == 0:
+                        continue
+                    cy, cx = clip_mv_batch(ref_y + k, ref_x + l, ypos,
+                                           xpos, fwidth, fheight, size,
+                                           size, sign)
+                    if step == 32 and size == 16 and widesad32:
+                        win = _gather(ref_full, y0 + s * _ashr2(cy),
+                                      x0 + s * _ashr2(cx) - 3, height,
+                                      width + 6)
+                        sad, xoff = widesad_batch(org, win)
+                        sad = sad.astype(jnp.int64)
+                        cx = cx + ((s * xoff) << 2)
+                    else:
+                        sad = plain_sad(cy, cx)
+                    sad = (sad >> shift) + _mv_cost(lam, cy - mvp_y,
+                                                    cx - mvp_x)
+                    better = sad < min_sad
+                    min_sad = jnp.where(better, sad, min_sad)
+                    opt_y = jnp.where(better, cy, opt_y)
+                    opt_x = jnp.where(better, cx, opt_x)
+            ref_y, ref_x = opt_y, opt_x
+            step >>= 1
 
     # ---- candidate stage (enc/encode_block.c:575-605) ----
     for idx in range(maxcand):
