@@ -85,3 +85,44 @@ def test_motion_estimate_batch_telescope(widesad32):
             mvc, (int(mvps[i, 0]), int(mvps[i, 1])), float(lams[i]),
             _PS(), 0, W, H, mvcand, [int(cn[i])], 1, 8)
         assert int(gs[i]) == sad and (int(gy[i]), int(gx[i])) == mv, i
+
+
+@pytest.mark.parametrize("sign,bip", [(0, 1), (1, 1), (0, 2)])
+def test_motion_estimate_bi_batch(sign, bip):
+    from thor_tpu.ops.me_batch import motion_estimate_bi_batch
+    rng = np.random.default_rng(13 + sign + bip)
+    W, H, pad, size = 128, 96, 160, 16
+    r0 = YuvFrame(W, H, 420, pad, 8, 8)
+    r0.y[:] = rng.integers(0, 256, (H, W))
+    r0.pad_frame()
+    r1 = YuvFrame(W, H, 420, pad, 8, 8)
+    r1.y[:] = rng.integers(0, 256, (H, W))
+    r1.pad_frame()
+
+    N, maxc = 10, 4
+    ys = rng.integers(0, (H - size) // 8, N) * 8
+    xs = rng.integers(0, (W - size) // 8, N) * 8
+    orgs = rng.integers(0, 256, (N, size, size)).astype(np.int32)
+    mvps = rng.integers(-12, 13, (N, 2))
+    lams = rng.uniform(1.0, 6.0, N)
+    cn = rng.integers(0, maxc + 1, N)
+    cy = rng.integers(-10, 11, (N, maxc))
+    cx = rng.integers(-10, 11, (N, maxc))
+    mvc = (5, -7)
+
+    gs, gy, gx = (np.asarray(a) for a in motion_estimate_bi_batch(
+        orgs, r0.y_full.astype(np.int32), r1.y_full.astype(np.int32), pad,
+        ys.astype(np.int32), xs.astype(np.int32),
+        mvps[:, 0].astype(np.int32), mvps[:, 1].astype(np.int32), lams,
+        cy.astype(np.int32), cx.astype(np.int32), cn.astype(np.int32),
+        width=size, height=size, size=size, sign=sign, fwidth=W,
+        fheight=H, bitdepth=8, bipred=bip, mvc_y=mvc[0], mvc_x=mvc[1]))
+
+    for i in range(N):
+        mvcand = [(int(cy[i, j]), int(cx[i, j]))
+                  for j in range(maxc)] + [(0, 0)] * 2
+        sad, mv = me.motion_estimate_bi(
+            orgs[i], r0, r1, int(ys[i]), int(xs[i]), size, size, size,
+            mvc, (int(mvps[i, 0]), int(mvps[i, 1])), float(lams[i]), _P(),
+            sign, W, H, mvcand, [int(cn[i])], bip, 8)
+        assert int(gs[i]) == sad and (int(gy[i]), int(gx[i])) == mv, i

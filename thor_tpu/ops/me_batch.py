@@ -250,3 +250,119 @@ def motion_estimate_batch(org, ref_full, pad, ypos, xpos, mvp_y, mvp_x,
     opt_y = opt_y + ydelta_qp
     opt_x = opt_x + xdelta_qp
     return jnp.minimum(cmin, min_sad), opt_y, opt_x
+
+
+def _mc_params_batch(my, mx, ypos, xpos, bh, bw, fwidth, fheight, sign):
+    """Vectorized mc_luma offset/frac derivation incl. the reference's
+    integer clamps and its -xpos-bheight quirk (inter_prediction.c:117-181,
+    whole-block path: clamp origin == block origin)."""
+    if sign:
+        my, mx = -my, -mx
+    fv = my & 3
+    fh = mx & 3
+    vi = my >> 2
+    hi = mx >> 2
+    vi = jnp.minimum(vi, fheight - ypos)
+    vi = jnp.maximum(vi, -xpos - bh)   # (sic) the C quirk uses xpos here
+    hi = jnp.minimum(hi, fwidth - xpos)
+    hi = jnp.maximum(hi, -xpos - bw)
+    return ypos + vi, xpos + hi, fv, fh
+
+
+@partial(jax.jit, static_argnames=("width", "height", "size", "sign",
+                                   "fwidth", "fheight", "bitdepth",
+                                   "bipred", "mvc_y", "mvc_x"))
+def motion_estimate_bi_batch(org, ref0_full, ref1_full, pad, ypos, xpos,
+                             mvp_y, mvp_x, lam, cand_y, cand_x, cand_n,
+                             width: int, height: int, size: int, sign: int,
+                             fwidth: int, fheight: int, bitdepth: int = 8,
+                             bipred: int = 1, mvc_y: int = 0,
+                             mvc_x: int = 0):
+    """Lockstep simultaneous bi-prediction ME (enc/encode_block.c:798-913):
+    mv1 = -mv0 telescope (step 32..1 with the quarter-pel parity pattern
+    at step 1) + the 6 persistent candidate slots.  Every candidate is
+    evaluated with the exact quarter-pel MC on both references.
+
+    cand_*: [N,4] slots with per-block counts cand_n; slots [n..3] are
+    zero-filled and [4]=mvp, [5]=0 exactly as the reference mutates its
+    persistent array (the caller owns writing those back).  Returns
+    (sad [N], mv_y [N], mv_x [N]) matching enc.me.motion_estimate_bi.
+    """
+    from .mc import mc_luma_tiles
+    n = org.shape[0]
+    shift = bitdepth - 8
+    org = org.astype(jnp.int32)
+
+    def bi_sad(cy, cx):
+        m0y, m0x = clip_mv_batch(cy, cx, ypos, xpos, fwidth, fheight,
+                                 size, size, sign)
+        oy0, ox0, fv0, fh0 = _mc_params_batch(
+            m0y, m0x, ypos, xpos, height, width, fwidth, fheight, sign)
+        p0 = mc_luma_tiles(ref0_full, pad + oy0 - 2, pad + ox0 - 2,
+                           fv0, fh0, tile=width, bipred=bipred,
+                           bitdepth=bitdepth)
+        # the C clips in place: the second clip sees the first's output
+        m1y, m1x = clip_mv_batch(m0y, m0x, ypos, xpos, fwidth, fheight,
+                                 size, size, 1 - sign)
+        oy1, ox1, fv1, fh1 = _mc_params_batch(
+            m1y, m1x, ypos, xpos, height, width, fwidth, fheight, 1 - sign)
+        p1 = mc_luma_tiles(ref1_full, pad + oy1 - 2, pad + ox1 - 2,
+                           fv1, fh1, tile=width, bipred=bipred,
+                           bitdepth=bitdepth)
+        rf = (p0 + p1) >> 1
+        sad = sad_batch(org, rf).astype(jnp.int64) >> shift
+        return sad, m1y, m1x
+
+    min_sad = jnp.full((n,), MAX_UINT32, jnp.int64)
+    opt_y = jnp.zeros((n,), jnp.int32)
+    opt_x = jnp.zeros((n,), jnp.int32)
+    ref_y = jnp.full((n,), ((mvc_y + 2) >> 2) << 2, jnp.int32)
+    ref_x = jnp.full((n,), ((mvc_x + 2) >> 2) << 2, jnp.int32)
+
+    step = 32
+    while step > 0:
+        for k in range(-step, step + 1, step):
+            for l in range(-step, step + 1, step):
+                if step < 32 and k == 0 and l == 0:
+                    continue
+                if step == 1:
+                    # quarter-pel parity pattern: full-pel centres probe
+                    # diagonals, half-pel centres probe the cross, the
+                    # (2,2) centre probes nothing (encode_block.c:836-848)
+                    vf = ref_y & 3
+                    hf = ref_x & 3
+                    centre00 = (vf == 0) & (hf == 0)
+                    centre22 = (vf == 2) & (hf == 2)
+                    if abs(k) != abs(l):
+                        live = ~(centre00 | centre22)
+                    else:
+                        live = centre00
+                else:
+                    live = jnp.ones((n,), bool)
+                sad, my, mx = bi_sad(ref_y + k, ref_x + l)
+                sad = sad + _mv_cost(lam, my - mvp_y, mx - mvp_x)
+                better = live & (sad < min_sad)
+                min_sad = jnp.where(better, sad, min_sad)
+                opt_y = jnp.where(better, my, opt_y)
+                opt_x = jnp.where(better, mx, opt_x)
+        ref_y, ref_x = opt_y, opt_x
+        step >>= 1
+
+    # persistent slots: zero-fill [num..3], [4]=mvp, [5]=0
+    for idx in range(6):
+        if idx < 4:
+            live = jnp.ones((n,), bool)
+            cy = jnp.where(idx < cand_n, cand_y[:, idx], 0)
+            cx = jnp.where(idx < cand_n, cand_x[:, idx], 0)
+        elif idx == 4:
+            cy, cx = mvp_y, mvp_x
+        else:
+            cy = jnp.zeros((n,), jnp.int32)
+            cx = jnp.zeros((n,), jnp.int32)
+        sad, my, mx = bi_sad(cy, cx)
+        sad = sad + _mv_cost(lam, my - mvp_y, mx - mvp_x)
+        better = sad < min_sad
+        min_sad = jnp.where(better, sad, min_sad)
+        opt_y = jnp.where(better, my, opt_y)
+        opt_x = jnp.where(better, mx, opt_x)
+    return min_sad, opt_y, opt_x
