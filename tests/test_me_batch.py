@@ -126,3 +126,45 @@ def test_motion_estimate_bi_batch(sign, bip):
             mvc, (int(mvps[i, 0]), int(mvps[i, 1])), float(lams[i]), _P(),
             sign, W, H, mvcand, [int(cn[i])], bip, 8)
         assert int(gs[i]) == sad and (int(gy[i]), int(gx[i])) == mv, i
+
+
+@pytest.mark.parametrize("sign,bip", [(0, 0), (1, 1)])
+def test_motion_estimate_sync_batch(sign, bip):
+    from thor_tpu.ops.me_batch import motion_estimate_sync_batch
+    rng = np.random.default_rng(17 + sign)
+    W, H, pad, size = 128, 96, 160, 16
+    fr = YuvFrame(W, H, 420, pad, 8, 8)
+    fr.y[:] = rng.integers(0, 256, (H, W))
+    fr.pad_frame()
+
+    N = 10
+    ys = rng.integers(0, (H - size) // 8, N) * 8
+    xs = rng.integers(0, (W - size) // 8, N) * 8
+    orgs = rng.integers(0, 256, (N, size, size)).astype(np.int32)
+    mvps = rng.integers(-12, 13, (N, 2))
+    lams = rng.uniform(1.0, 6.0, N)
+    cands = rng.integers(-10, 11, (N, 6, 2))
+    mvc = (5, -7)
+    cy = cands[:, :, 0].copy()
+    cx = cands[:, :, 1].copy()
+    cy[:, 4] = mvps[:, 0]
+    cx[:, 4] = mvps[:, 1]
+    cy[:, 5] = 0
+    cx[:, 5] = 0
+
+    gs, gy, gx = (np.asarray(a) for a in motion_estimate_sync_batch(
+        orgs, fr.y_full.astype(np.int32), pad, ys.astype(np.int32),
+        xs.astype(np.int32), np.zeros(N, np.int32), np.zeros(N, np.int32),
+        mvps[:, 0].astype(np.int32), mvps[:, 1].astype(np.int32), lams,
+        cy.astype(np.int32), cx.astype(np.int32),
+        width=size, height=size, size=size, sign=sign, fwidth=W,
+        fheight=H, bitdepth=8, bipred=bip, mvc_y=mvc[0], mvc_x=mvc[1]))
+
+    for i in range(N):
+        mvcand = [(int(cands[i, j, 0]), int(cands[i, j, 1]))
+                  for j in range(6)]
+        sad, mv = me.motion_estimate_sync(
+            orgs[i], fr, int(ys[i]), int(xs[i]), size, size, size,
+            mvc, (int(mvps[i, 0]), int(mvps[i, 1])), float(lams[i]), _P(),
+            sign, W, H, mvcand, [4], bip, 8)
+        assert int(gs[i]) == sad and (int(gy[i]), int(gx[i])) == mv, i

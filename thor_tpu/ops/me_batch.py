@@ -366,3 +366,79 @@ def motion_estimate_bi_batch(org, ref0_full, ref1_full, pad, ypos, xpos,
         opt_y = jnp.where(better, my, opt_y)
         opt_x = jnp.where(better, mx, opt_x)
     return min_sad, opt_y, opt_x
+
+
+@partial(jax.jit, static_argnames=("width", "height", "size", "sign",
+                                   "fwidth", "fheight", "bitdepth",
+                                   "bipred", "mvc_y", "mvc_x"))
+def motion_estimate_sync_batch(org, ref_full, pad, ypos, xpos, boy, box,
+                               mvp_y, mvp_x, lam, cand_y, cand_x,
+                               width: int, height: int, size: int,
+                               sign: int, fwidth: int, fheight: int,
+                               bitdepth: int = 8, bipred: int = 0,
+                               mvc_y: int = 0, mvc_x: int = 0):
+    """Lockstep wavefront-safe ME (enc/encode_block.c:713-796): the
+    telescope runs to quarter-pel resolution with exact MC, then the 6
+    persistent candidate slots.  boy/box: [N] sub-PU offsets from the
+    parent block (the MC integer clamps use the parent origin -
+    inter_prediction.c:214 quirk).  cand_*: [N,6] with slot [4]=mvp and
+    [5]=0 prefilled by the caller (as the C mutates in place; slots
+    [n..3] hold stale persistent values).  Matches
+    enc.me.motion_estimate_sync per block.
+    """
+    from .mc import mc_luma_tiles
+    n = org.shape[0]
+    shift = bitdepth - 8
+    org = org.astype(jnp.int32)
+
+    def mc_sad(cy, cx):
+        my, mx = clip_mv_batch(cy, cx, ypos, xpos, fwidth, fheight,
+                               size, size, sign)
+        oy, ox, fv, fh = _mc_params_batch(
+            my, mx, ypos, xpos, height, width, fwidth, fheight, sign)
+        # window base at the sub-PU, integer offsets clamped at the parent
+        pred = mc_luma_tiles(ref_full, pad + (oy - ypos) + ypos + boy - 2,
+                             pad + (ox - xpos) + xpos + box - 2, fv, fh,
+                             tile=width, bipred=bipred, bitdepth=bitdepth)
+        sad = sad_batch(org, pred).astype(jnp.int64) >> shift
+        sad = sad + _mv_cost(lam, my - mvp_y, mx - mvp_x)
+        return sad, my, mx
+
+    min_sad = jnp.full((n,), MAX_UINT32, jnp.int64)
+    opt_y = jnp.zeros((n,), jnp.int32)
+    opt_x = jnp.zeros((n,), jnp.int32)
+    ref_y = jnp.full((n,), ((mvc_y + 2) >> 2) << 2, jnp.int32)
+    ref_x = jnp.full((n,), ((mvc_x + 2) >> 2) << 2, jnp.int32)
+
+    step = 32
+    while step > 0:
+        for k in range(-step, step + 1, step):
+            for l in range(-step, step + 1, step):
+                if step < 32 and k == 0 and l == 0:
+                    continue
+                if step == 1:
+                    vf = ref_y & 3
+                    hf = ref_x & 3
+                    centre00 = (vf == 0) & (hf == 0)
+                    centre22 = (vf == 2) & (hf == 2)
+                    if abs(k) != abs(l):
+                        live = ~(centre00 | centre22)
+                    else:
+                        live = centre00
+                else:
+                    live = jnp.ones((n,), bool)
+                sad, my, mx = mc_sad(ref_y + k, ref_x + l)
+                better = live & (sad < min_sad)
+                min_sad = jnp.where(better, sad, min_sad)
+                opt_y = jnp.where(better, my, opt_y)
+                opt_x = jnp.where(better, mx, opt_x)
+        ref_y, ref_x = opt_y, opt_x
+        step >>= 1
+
+    for idx in range(6):
+        sad, my, mx = mc_sad(cand_y[:, idx], cand_x[:, idx])
+        better = sad < min_sad
+        min_sad = jnp.where(better, sad, min_sad)
+        opt_y = jnp.where(better, my, opt_y)
+        opt_x = jnp.where(better, mx, opt_x)
+    return min_sad, opt_y, opt_x
