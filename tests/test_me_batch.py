@@ -168,3 +168,46 @@ def test_motion_estimate_sync_batch(sign, bip):
             mvc, (int(mvps[i, 0]), int(mvps[i, 1])), float(lams[i]), _P(),
             sign, W, H, mvcand, [4], bip, 8)
         assert int(gs[i]) == sad and (int(gy[i]), int(gx[i])) == mv, i
+
+
+@pytest.mark.parametrize("size,sign", [(16, 0), (8, 1), (32, 0)])
+def test_motion_estimate_batch_speed0(size, sign):
+    """HE path: telescope + hexagon (all sizes) + exact MC sub-pel."""
+
+    class _P0:
+        encoder_speed = 0
+
+    rng = np.random.default_rng(23 + size + sign)
+    W, H, pad = 128, 96, 160
+    fr = YuvFrame(W, H, 420, pad, 8, 8)
+    fr.y[:] = rng.integers(0, 256, (H, W))
+    fr.pad_frame()
+
+    N, maxc = 8, 3
+    ys = rng.integers(0, (H - size) // 8, N) * 8
+    xs = rng.integers(0, (W - size) // 8, N) * 8
+    orgs = rng.integers(0, 256, (N, size, size)).astype(np.int32)
+    mvps = rng.integers(-12, 13, (N, 2))
+    lams = rng.uniform(1.0, 6.0, N)
+    cn = rng.integers(0, maxc + 1, N)
+    cy = rng.integers(-10, 11, (N, maxc))
+    cx = rng.integers(-10, 11, (N, maxc))
+    mvc = (3, -5)
+
+    gs, gy, gx = (np.asarray(a) for a in motion_estimate_batch(
+        orgs, fr.y_full.astype(np.int32), pad, ys.astype(np.int32),
+        xs.astype(np.int32), mvps[:, 0].astype(np.int32),
+        mvps[:, 1].astype(np.int32), lams, cy.astype(np.int32),
+        cx.astype(np.int32), cn.astype(np.int32),
+        width=size, height=size, size=size, sign=sign, fwidth=W,
+        fheight=H, bitdepth=8, maxcand=maxc, telescope=True,
+        widesad32=False, mvc_y=mvc[0], mvc_x=mvc[1], speed0=True,
+        bipred=0))
+
+    for i in range(N):
+        mvcand = [(int(cy[i, j]), int(cx[i, j])) for j in range(maxc)]
+        sad, mv = me.motion_estimate(
+            orgs[i], fr, int(ys[i]), int(xs[i]), size, size, size,
+            mvc, (int(mvps[i, 0]), int(mvps[i, 1])), float(lams[i]),
+            _P0(), sign, W, H, mvcand, [int(cn[i])], 0, 8)
+        assert int(gs[i]) == sad and (int(gy[i]), int(gx[i])) == mv, i

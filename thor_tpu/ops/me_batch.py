@@ -81,14 +81,15 @@ def _gather(ref, y0, x0, h, w):
 @partial(jax.jit, static_argnames=("width", "height", "size", "sign",
                                    "fwidth", "fheight", "bitdepth",
                                    "maxcand", "telescope", "widesad32",
-                                   "mvc_y", "mvc_x"))
+                                   "mvc_y", "mvc_x", "speed0", "bipred"))
 def motion_estimate_batch(org, ref_full, pad, ypos, xpos, mvp_y, mvp_x,
                           lam, cand_y, cand_x, cand_n, width: int,
                           height: int, size: int, sign: int, fwidth: int,
                           fheight: int, bitdepth: int = 8,
                           maxcand: int = 4, telescope: bool = False,
                           widesad32: bool = False, mvc_y: int = 0,
-                          mvc_x: int = 0):
+                          mvc_x: int = 0, speed0: bool = False,
+                          bipred: int = 0):
     """Lockstep ME for N same-sized PUs (the reference search, fast
     sub-pel path: encoder_speed > 0).
 
@@ -178,7 +179,7 @@ def motion_estimate_batch(org, ref_full, pad, ypos, xpos, mvp_y, mvp_x,
     # ---- hexagon full-pel refinement (enc/encode_block.c:607-641) ----
     diy = jnp.asarray(np.array([1, 2, 1, -1, -2, -1], np.int32))
     dix = jnp.asarray(np.array([-1, 0, 1, 1, 0, -1], np.int32))
-    maxsteps = 6 if size <= 16 else 1
+    maxsteps = 6 if (size <= 16 or speed0) else 1
     start = jnp.zeros((n,), jnp.int32)
     end = jnp.full((n,), 5, jnp.int32)
     active = jnp.ones((n,), bool)
@@ -205,6 +206,51 @@ def motion_estimate_batch(org, ref_full, pad, ypos, xpos, mvp_y, mvp_x,
         start = jnp.where(best_dir != 0, best_dir - 1, 5)
         end = jnp.where(start + 2 >= 6, start + 2 - 6, start + 2)
         active = active & (best_dir >= 0)
+
+    if speed0:
+        # ---- exact sub-pel (enc/encode_block.c:643-652): 8 half-pel
+        # then 8 quarter-pel MC evaluations around the full-pel optimum,
+        # integer clamps at the block origin ----
+        from .mc import mc_luma_tiles
+
+        def mc_sad_at(cy, cx):
+            oy, ox, fvv, fhh = _mc_params_batch(
+                cy, cx, ypos, xpos, height, width, fwidth, fheight, sign)
+            pred = mc_luma_tiles(ref_full, pad + oy - 2, pad + ox - 2,
+                                 fvv, fhh, tile=width, bipred=bipred,
+                                 bitdepth=bitdepth)
+            return sad_batch(org, pred).astype(jnp.int64) >> shift
+
+        cmin = min_sad
+        hm = [0, 0, -2, 2, 0, -2, -2, 2, 2]
+        hn = [0, -1 * 2, 0, 0, 2, -2, 2, -2, 2]
+        ydelta_hp = jnp.zeros((n,), jnp.int32)
+        xdelta_hp = jnp.zeros((n,), jnp.int32)
+        for i in range(1, 9):
+            cy = ref_y + hm[i]
+            cx = ref_x + hn[i]
+            sad = mc_sad_at(cy, cx) + _mv_cost(lam, cy - mvp_y, cx - mvp_x)
+            better = sad < cmin
+            cmin = jnp.where(better, sad, cmin)
+            ydelta_hp = jnp.where(better, hm[i], ydelta_hp)
+            xdelta_hp = jnp.where(better, hn[i], xdelta_hp)
+        opt_y = opt_y + ydelta_hp
+        opt_x = opt_x + xdelta_hp
+        qm = [0, 0, -1, 1, 0, -1, -1, 1, 1]
+        qn = [0, -1, 0, 0, 1, -1, 1, -1, 1]
+        ydelta_qp = jnp.zeros((n,), jnp.int32)
+        xdelta_qp = jnp.zeros((n,), jnp.int32)
+        for i in range(1, 9):
+            cy = opt_y + qm[i]
+            cx = opt_x + qn[i]
+            sad = mc_sad_at(cy, cx) + _mv_cost(lam, cy - mvp_y, cx - mvp_x)
+            better = sad < cmin
+            cmin = jnp.where(better, sad, cmin)
+            ydelta_qp = jnp.where(better, qm[i], ydelta_qp)
+            xdelta_qp = jnp.where(better, qn[i], xdelta_qp)
+        opt_y = opt_y + ydelta_qp
+        opt_x = opt_x + xdelta_qp
+        return jnp.minimum(cmin, min_sad), opt_y, opt_x
 
     # ---- fast bilinear sub-pel (enc/encode_block.c:653-700) ----
     cmin = min_sad
