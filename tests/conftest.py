@@ -1,11 +1,20 @@
 import os
 
-# Virtual 8-device CPU mesh for sharding tests (must be set before jax import)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Virtual 8-device CPU mesh for sharding tests (must be set before jax
+# import).  Assignment, not setdefault: the driver environment presets
+# JAX_PLATFORMS=axon (single tunneled TPU chip) which must not leak into
+# the test suite.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+# The axon sitecustomize (loaded at interpreter start, before this file)
+# registers the tunneled TPU backend and force-selects it, so the env var
+# alone is not enough - pin the platform through jax.config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -21,7 +21,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_cli(args, cwd=REPO):
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    # Prepend (not clobber) PYTHONPATH: the environment may carry platform
+    # plugin paths (e.g. the axon site dir) that must stay importable.
+    env["PYTHONPATH"] = REPO + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    env["JAX_PLATFORMS"] = "cpu"
+    # scrub the axon sitecustomize trigger (it force-selects the tunneled
+    # TPU backend regardless of JAX_PLATFORMS)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return subprocess.run([sys.executable, "-m", "thor_tpu.cli"] + args,
                           capture_output=True, text=True, env=env, cwd=cwd)
 
@@ -33,9 +40,8 @@ def test_dec_stdout_parity(name, tmp_path):
     r = run_cli(["dec", os.path.join(GOLDEN, name + ".bit"),
                  str(tmp_path / "out.yuv")])
     assert r.returncode == 0, r.stderr
-    # our CLI appends one summary line after the reference-format report
-    lines = r.stdout.splitlines(keepends=True)
-    assert "".join(lines[:-1]) == golden
+    # stdout is byte-identical with Thordec (our summary goes to stderr)
+    assert r.stdout == golden
 
 
 def test_enc_stdout_parity(tmp_path):

@@ -290,7 +290,10 @@ def main_dec(argv):
         else:
             for fr in frames:
                 f.write(fr)
-    print(f"decoded {len(frames)} frames {hdr.width}x{hdr.height}")
+    # our own summary goes to stderr so stdout stays byte-identical with
+    # the reference decoder (diff-able against Thordec)
+    print(f"decoded {len(frames)} frames {hdr.width}x{hdr.height}",
+          file=sys.stderr)
     return 0
 
 

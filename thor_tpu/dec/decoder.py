@@ -307,6 +307,19 @@ class Decoder:
         import os as _os
         self.use_device_filters = _os.environ.get(
             "THOR_DEVICE_FILTERS", "1") != "0"
+        if self.use_device_filters:
+            # Probe the backend once; degrade to the spec filters instead
+            # of crashing when no JAX backend can initialize (e.g. libtpu
+            # version mismatch on a tunneled chip, missing plugin).
+            try:
+                import jax
+                jax.devices()
+            except Exception as e:  # noqa: BLE001 - any init failure
+                import sys as _sys
+                print("thor_tpu: JAX backend unavailable (%s); falling "
+                      "back to host loop filters" % type(e).__name__,
+                      file=_sys.stderr)
+                self.use_device_filters = False
 
     # ----- super mode -----
     def decode_super_mode(self, s: BitReader, size, decode_this_size, ctx_index):

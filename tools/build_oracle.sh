@@ -18,5 +18,9 @@ cc -std=c99 -O3 -fcommon -fPIC -shared -I common -I enc -I dec -msse4 \
   common/common_frame.c common/common_frame_hbd.c common/temporal_interp.c \
   common/temporal_interp_hbd.c common/wt_matrix.c common/snr.c common/snr_hbd.c \
   enc/enc_kernels.c enc/enc_kernels_hbd.c \
+  enc/encode_block.c enc/encode_block_hbd.c \
+  enc/encode_frame.c enc/encode_frame_hbd.c \
+  enc/write_bits.c enc/encode_tables.c \
+  enc/putbits.c enc/putvlc.c enc/rc.c \
   -lm -o /tmp/liboracle.so
 echo built /tmp/liboracle.so
