@@ -46,6 +46,7 @@ def test_motion_estimate_batch(size, sign):
         assert int(gs[i]) == sad and (int(gy[i]), int(gx[i])) == mv, i
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("widesad32", [True, False])
 def test_motion_estimate_batch_telescope(widesad32):
     """size-16 bipred path: telescope + candidates + hexagon + subpel."""
@@ -87,6 +88,7 @@ def test_motion_estimate_batch_telescope(widesad32):
         assert int(gs[i]) == sad and (int(gy[i]), int(gx[i])) == mv, i
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sign,bip", [(0, 1), (1, 1), (0, 2)])
 def test_motion_estimate_bi_batch(sign, bip):
     from thor_tpu.ops.me_batch import motion_estimate_bi_batch
@@ -128,6 +130,7 @@ def test_motion_estimate_bi_batch(sign, bip):
         assert int(gs[i]) == sad and (int(gy[i]), int(gx[i])) == mv, i
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sign,bip", [(0, 0), (1, 1)])
 def test_motion_estimate_sync_batch(sign, bip):
     from thor_tpu.ops.me_batch import motion_estimate_sync_batch
@@ -170,6 +173,7 @@ def test_motion_estimate_sync_batch(sign, bip):
         assert int(gs[i]) == sad and (int(gy[i]), int(gx[i])) == mv, i
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("size,sign", [(16, 0), (8, 1), (32, 0)])
 def test_motion_estimate_batch_speed0(size, sign):
     """HE path: telescope + hexagon (all sizes) + exact MC sub-pel."""

@@ -1338,6 +1338,11 @@ class Encoder:
             max_qp = p.max_qpI if fi.frame_type == I_FRAME else p.max_qp
             min_qp = p.min_qpI if fi.frame_type == I_FRAME else p.min_qp
             self.rc.init_frame(min_qp, max_qp)
+        if getattr(self, "device_sb_loop", False):
+            from . import device_lc
+            if device_lc.lc_supported(self):
+                device_lc.encode_frame_device(self)
+                return self._encode_frame_tail(qp)
         for k in range(nsv):
             for l in range(nsh):
                 fi.mvcand = self.mvcand
@@ -1371,6 +1376,16 @@ class Encoder:
                 else:
                     self.process_block(sb_size, k * sb_size, l * sb_size, qp)
 
+        if p.bitrate > 0:
+            self._rc_start_bits = start_bits_frame
+        return self._encode_frame_tail(qp)
+
+    def _encode_frame_tail(self, qp):
+        """Post-SB-loop frame work: in-loop filters, RC update, ref window
+        (enc/encode_frame.c:760-850)."""
+        p = self.params
+        fi = self.fi
+        w = self.writer
         qp = fi.qp = fi.prev_qp
 
         if p.interp_ref > 1:
@@ -1425,7 +1440,7 @@ class Encoder:
                     self._clpf_apply(2, sv, 4, 0, qp)
 
         if p.bitrate > 0:
-            self.rc.update_frame(w.get_bit_pos() - start_bits_frame)
+            self.rc.update_frame(w.get_bit_pos() - self._rc_start_bits)
 
         # reference sliding window
         tmp = self.ref[MAX_REF_FRAMES - 1]
