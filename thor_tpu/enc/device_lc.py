@@ -497,12 +497,14 @@ def contexts_local(st, oy: int, ox: int, size: int, ypos, xpos, fw: int,
 # motion estimation (lockstep, LC fast path), batched candidate probes
 # ---------------------------------------------------------------------------
 
-def me_lc(org, ref_raw, pad: int, ypos, xpos, size: int, mvp_y, mvp_x,
-          sqrt_lam, cand_y, cand_x, cand_n, fw: int, fh: int):
+def me_lc(org, ref_stack, ref_idx, pad: int, ypos, xpos, size: int,
+          mvp_y, mvp_x, sqrt_lam, cand_y, cand_x, cand_n, fw: int,
+          fh: int):
     """Reference motion_estimate (enc/encode_block.c:517-711), LC path:
     candidate stage (+widesad at 16) -> hexagon (sizes<=16) -> fast
-    half/quarter-pel.  sign=0 (P frames).  org [L,s,s] int32; cand_*
-    [L,NCAND]; returns (sad [L] i64, mv_y, mv_x [L] i32)."""
+    half/quarter-pel.  sign=0 (P frames).  org [L,s,s] int32; ref_stack
+    [R,Hp,Wp] with per-lane ref_idx [L]; cand_* [L,NCAND]; returns
+    (sad [L] i64, mv_y, mv_x [L] i32)."""
     Lb = org.shape[0]
     y0 = pad + ypos
     x0 = pad + xpos
@@ -518,9 +520,11 @@ def me_lc(org, ref_raw, pad: int, ypos, xpos, size: int, mvp_y, mvp_x,
     cy, cx = clip_mv_j(cy, cx, ypos[:, None], xpos[:, None], fw, fh,
                        size, size)
     wy = y0[:, None] + (cy >> 2)
+    rsel = jnp.broadcast_to(ref_idx[:, None], cy.shape)
     if size == 16:
         wx = x0[:, None] + (cx >> 2) - 3
-        win = _wins(ref_raw, wy, wx, size, size + 6).astype(jnp.int32)
+        win = _wins3(ref_stack, rsel, wy, wx, size, size + 6
+                     ).astype(jnp.int32)
         sad, xoff = widesad_batch(
             jnp.broadcast_to(org[:, None], (Lb, NCAND, size, size)
                              ).reshape(Lb * NCAND, size, size),
@@ -529,7 +533,7 @@ def me_lc(org, ref_raw, pad: int, ypos, xpos, size: int, mvp_y, mvp_x,
         cx = cx + (xoff.reshape(Lb, NCAND) << 2)
     else:
         wx = x0[:, None] + (cx >> 2)
-        win = _wins(ref_raw, wy, wx, size, size).astype(jnp.int32)
+        win = _wins3(ref_stack, rsel, wy, wx, size, size).astype(jnp.int32)
         d = jnp.abs(org[:, None] - win)
         sad = d.sum(axis=(2, 3)).astype(jnp.int64)
     sad = sad + mv_cost_j(sqrt_lam[:, None], cy - mvp_y[:, None],
@@ -551,18 +555,19 @@ def me_lc(org, ref_raw, pad: int, ypos, xpos, size: int, mvp_y, mvp_x,
     if size <= 16:
         diy = jnp.asarray(np.array([1, 2, 1, -1, -2, -1], np.int32))
         dix = jnp.asarray(np.array([-1, 0, 1, 1, 0, -1], np.int32))
-        start = jnp.zeros((Lb,), jnp.int32)
-        end = jnp.full((Lb,), 5, jnp.int32)
-        active = jnp.ones((Lb,), bool)
-        for _step in range(1, 6):
+
+        def hex_round(_step, carry):
+            ref_y, ref_x, start, end, active, min_sad, opt_y, opt_x = carry
             # NB: C indexes dix with the y-delta and diy with x (quirk)
             cy6 = ref_y[:, None] + dix[None, :] * 4
             cx6 = ref_x[:, None] + diy[None, :] * 4
             cy6, cx6 = clip_mv_j(cy6, cx6, ypos[:, None], xpos[:, None],
                                  fw, fh, size, size)
-            win = _wins(ref_raw, y0[:, None] + (cy6 >> 2),
-                        x0[:, None] + (cx6 >> 2), size, size
-                        ).astype(jnp.int32)
+            win = _wins3(ref_stack,
+                         jnp.broadcast_to(ref_idx[:, None], cy6.shape),
+                         y0[:, None] + (cy6 >> 2),
+                         x0[:, None] + (cx6 >> 2), size, size
+                         ).astype(jnp.int32)
             sad6 = jnp.abs(org[:, None] - win).sum(axis=(2, 3)
                                                    ).astype(jnp.int64)
             sad6 = sad6 + mv_cost_j(sqrt_lam[:, None],
@@ -587,15 +592,22 @@ def me_lc(org, ref_raw, pad: int, ypos, xpos, size: int, mvp_y, mvp_x,
                               jnp.take_along_axis(cx6, bj[:, None], 1)[:, 0],
                               opt_x)
             best_dir = jnp.where(found, bj.astype(jnp.int32), -1)
-            ref_y, ref_x = opt_y, opt_x
             start = jnp.where(best_dir != 0, best_dir - 1, 5)
             end = jnp.where(start + 2 >= 6, start + 2 - 6, start + 2)
             active = active & (best_dir >= 0)
+            return (opt_y, opt_x, start, end, active, min_sad, opt_y, opt_x)
+
+        carry = (ref_y, ref_x, jnp.zeros((Lb,), jnp.int32),
+                 jnp.full((Lb,), 5, jnp.int32), jnp.ones((Lb,), bool),
+                 min_sad, opt_y, opt_x)
+        carry = jax.lax.fori_loop(1, 6, hex_round, carry)
+        ref_y, ref_x, _, _, _, min_sad, opt_y, opt_x = carry
 
     # ---- fast bilinear sub-pel (:653-700) ----
     cmin = min_sad
-    hwin = _wins(ref_raw, y0 + (ref_y >> 2) - 2, x0 + (ref_x >> 2) - 2,
-                 size + 4, size + 4).astype(jnp.int32)
+    hwin = _wins3(ref_stack, ref_idx, y0 + (ref_y >> 2) - 2,
+                  x0 + (ref_x >> 2) - 2, size + 4, size + 4
+                  ).astype(jnp.int32)
     hsad, spx, spy = fasthalf_batch(org, hwin)
     hsad = hsad.astype(jnp.int64) + mv_cost_j(
         sqrt_lam, ref_y + spy - mvp_y, ref_x + spx - mvp_x)
@@ -609,8 +621,9 @@ def me_lc(org, ref_raw, pad: int, ypos, xpos, size: int, mvp_y, mvp_x,
     opt_y = opt_y + ydelta_hp
     opt_x = opt_x + xdelta_hp
 
-    qwin = _wins(ref_raw, y0 + (mr_y >> 2) - 1, x0 + (mr_x >> 2) - 1,
-                 size + 2, size + 2).astype(jnp.int32)
+    qwin = _wins3(ref_stack, ref_idx, y0 + (mr_y >> 2) - 1,
+                  x0 + (mr_x >> 2) - 1, size + 2, size + 2
+                  ).astype(jnp.int32)
     ydelta_qp = jnp.zeros((Lb,), jnp.int32)
     xdelta_qp = jnp.zeros((Lb,), jnp.int32)
     for inx in (0, 1):
@@ -732,7 +745,7 @@ def ssd_masked(a, b, bw, bh, s: int):
     return (d * d * (rows & cols)).sum(axis=(1, 2))
 
 
-def cost_calc_j(ssd, nbits, lam: float):
+def cost_calc_j(ssd, nbits, lam):
     """enc/encode_block.c:916-926 (8-bit: ssd >> 0)."""
     cost = ssd.astype(jnp.int64) + jnp.floor(
         lam * nbits.astype(jnp.float64) + 0.5).astype(jnp.int64)
@@ -748,7 +761,7 @@ def coeff_bits(cq, size: int, chroma: int, intra: int):
     return coeff_bits_batch(sc, size, chroma, intra)
 
 
-def trial_encode_plane(org, pred, size: int, qp: int, intra_q: int,
+def trial_encode_plane(org, pred, size: int, qp, intra_q: int,
                        chroma: int, intra_bits: int):
     """encode_and_reconstruct_block_inter, one plane, no tb-split
     (enc/encode_block.c:1275-1338) + exact coefficient bit count.
@@ -758,9 +771,8 @@ def trial_encode_plane(org, pred, size: int, qp: int, intra_q: int,
     Returns (cbp [N] i32, cq [N,qs,qs] i32, rec [N,s,s] i32, bits [N])."""
     res = (org - pred).astype(jnp.int16).astype(jnp.int32)
     co = fwd_transform_batch(res, size, True, 8)
-    cq, cbp = quantize_batch(co.astype(jnp.int16), qp, size, intra_q)
-    cq = cq.astype(jnp.int32)
-    rco = dequantize_batch(cq, qp, size)
+    cq, cbp = quantize_dyn(co, qp, size, intra_q)
+    rco = dequantize_dyn(cq, qp, size)
     rb = inv_transform_batch(rco, size, 8)
     rec = reconstruct_batch(rb, pred, 8)
     rec = jnp.where((cbp > 0)[:, None, None], rec, pred)
@@ -802,7 +814,7 @@ def early_skip_thresholds(qp: int, qpC: int, thr_f: float, sb_bump: bool):
 
 
 def early_skip_check(fc, cfg, cand, nsv, ypos, xpos, size: int,
-                     org_y, org_u, org_v, thr_l: int, thr_c: int):
+                     org_y, org_u, org_v, thr_l, thr_c):
     """check_early_skip_block (enc/encode_block.c:2231-2350) for both skip
     candidates in lockstep.  org_*: [L,s,s]/[L,sC,sC] int32 (full block).
     Returns skippable [L,2] bool (candidate passes the early-skip test)."""
@@ -1078,7 +1090,7 @@ def skip_trials(fc, cfg, st, oy, ox, size: int, ypos, xpos, bw, bh,
                       jnp.broadcast_to(encode_this[:, None], (Lb, 2)
                                        ).reshape(-1)).reshape(Lb, 2)
     nbits = sm + _idx_bits(nsv[:, None], jnp.arange(2)[None, :])
-    cost = cost_calc_j(ssd, nbits, cfg["lam"])
+    cost = cost_calc_j(ssd, nbits, fc["dyn"]["lam"])
     live = jnp.arange(2)[None, :] < nsv[:, None]
     if ok_mask is not None:
         live = live & ok_mask
@@ -1126,7 +1138,7 @@ def inter_style_trial(fc, cfg, st, size: int, ypos, xpos, bw, bh,
     idx_or_mvp: merge -> idx [L]; inter -> (mvp_y, mvp_x).
     Returns (cost [L], fields dict)."""
     Lb = org_y.shape[0]
-    qp, qpC = cfg["qp"], cfg["qpC"]
+    qp, qpC = fc["dyn"]["qp"], fc["dyn"]["qpC"]
     py, pu, pv = mc_yuv(fc, cfg, ref, mvy, mvx, ypos, xpos, size, bw, bh)
     cbp_y, cq_y, rec_y, bits_y = trial_encode_plane(
         org_y, py, size, qp, cfg["is_i"], 0, 0)
@@ -1147,7 +1159,7 @@ def inter_style_trial(fc, cfg, st, size: int, ypos, xpos, bw, bh,
     nbits = (nbits + cbp_bits(cbp_y, cbp_u, cbp_v, ctx_cbp,
                               mode_const == MODE_MERGE) +
              bits_y + bits_u + bits_v)
-    cost = cost_calc_j(ssd, nbits, cfg["lam"])
+    cost = cost_calc_j(ssd, nbits, fc["dyn"]["lam"])
     z = jnp.zeros((Lb,), jnp.int32)
     fields = {
         "mode": mode, "cbp_y": cbp_y, "cbp_u": cbp_u, "cbp_v": cbp_v,
@@ -1171,7 +1183,7 @@ def intra_trial(fc, cfg, st, oy, ox, size: int, ypos, xpos, bw, bh,
     """MODE_INTRA trial encode (enc/encode_block.c:1100-1273), no tb-split,
     CFL intra on.  imode [L]; preds_y [4,L,s,s] luma predictions."""
     Lb = org_y.shape[0]
-    qp, qpC = cfg["qp"], cfg["qpC"]
+    qp, qpC = fc["dyn"]["qp"], fc["dyn"]["qpC"]
     fw, fh = cfg["w"], cfg["h"]
     sC = size // 2
     intra_q = 1 if cfg["is_i"] else 0
@@ -1209,7 +1221,7 @@ def intra_trial(fc, cfg, st, oy, ox, size: int, ypos, xpos, bw, bh,
                           size, encode_this) + INTRA_MODE_BITS +
              cbp_bits(cbp_y, cbp_u, cbp_v, ctx_cbp, False) +
              bits_y + bits_u + bits_v)
-    cost = cost_calc_j(ssd, nbits, cfg["lam"])
+    cost = cost_calc_j(ssd, nbits, fc["dyn"]["lam"])
     z = jnp.zeros((Lb,), jnp.int32)
     fields = {
         "mode": mode, "idx": z, "intra_mode": imode,
@@ -1248,62 +1260,92 @@ def mode_decision(fc, cfg, st, oy, ox, size: int, ypos, xpos, bw, bh,
         return best, st
 
     full = encode_this
-    sqrt_lam = jnp.full((Lb,), cfg["sqrt_lam"], jnp.float64)
+    sqrt_lam = jnp.broadcast_to(fc["dyn"]["sqrt_lam"], (Lb,))
+
+    def rep(a, n):
+        """[L,...] -> [L*n,...] repeat along a new axis 1."""
+        return jnp.broadcast_to(a[:, None], (Lb, n) + a.shape[1:]
+                                ).reshape((Lb * n,) + a.shape[1:])
+
+    def sel_axis(fields, cost2, idx, n):
+        """Gather the idx-th of n batched trials from a fields dict."""
+        out = {}
+        for k, v in fields.items():
+            vr = v.reshape((Lb, n) + v.shape[1:])
+            ix = idx.reshape((Lb, 1) + (1,) * (v.ndim - 1))
+            out[k] = jnp.take_along_axis(vr, ix, axis=1)[:, 0]
+        out["cost"] = jnp.take_along_axis(cost2, idx[:, None], 1)[:, 0]
+        return out
 
     if not cfg["is_i"]:
-        # ---- merge (tb_param 0 only) ----
-        for k in range(2):
-            c7 = mcand[:, k]
-            cost, fields = inter_style_trial(
-                fc, cfg, st, size, ypos, xpos, bw, bh, encode_this,
-                c7[:, 0], c7[:, 1], c7[:, 4], MODE_MERGE,
-                jnp.full((Lb,), k, jnp.int32), ctx_cbp, ctx_index,
-                org_y, org_u, org_v, nmv=nmv)
-            fields["mv1y"] = c7[:, 2]
-            fields["mv1x"] = c7[:, 3]
-            fields["ref1"] = c7[:, 5]
-            fields["dir"] = c7[:, 6]
-            fields["cost"] = cost
-            take = full & (k < nmv) & (cost < best["cost"])
-            best = _best_update(best, take, fields)
+        # ---- merge (tb_param 0 only), both candidates in one batch ----
+        K = 2
+        cf = mcand.reshape(Lb * K, 7)
+        cost, fields = inter_style_trial(
+            fc, cfg, st, size, rep(ypos, K), rep(xpos, K), rep(bw, K),
+            rep(bh, K), rep(encode_this, K), cf[:, 0], cf[:, 1], cf[:, 4],
+            MODE_MERGE, jnp.tile(jnp.arange(K, dtype=jnp.int32), Lb),
+            rep(ctx_cbp, K), rep(ctx_index, K), rep(org_y, K),
+            rep(org_u, K), rep(org_v, K), nmv=rep(nmv, K))
+        fields["mv1y"] = cf[:, 2]
+        fields["mv1x"] = cf[:, 3]
+        fields["ref1"] = cf[:, 5]
+        fields["dir"] = cf[:, 6]
+        cost2 = jnp.where(jnp.arange(K)[None, :] < nmv[:, None],
+                          cost.reshape(Lb, K), jnp.int64(MAX_UINT32))
+        kidx, kcost = _pick_first_min(cost2)
+        mf = sel_axis(fields, cost2, kidx, K)
+        best = _best_update(best, full & (kcost < best["cost"]), mf)
 
         # ---- intra SAD gate (speed > 0: intra_inter_sad) ----
         best_im, sad_i, preds_y = search_intra_mode_j(
             st, oy, ox, size, ypos, xpos, org_y, cfg)
-        sad_intra = sad_i + cfg["isqrt_bias"]
-        do_intra = full
+        sad_intra = sad_i + fc["dyn"]["isqrt_bias"]
 
-        # ---- inter: ME + trial per reference ----
+        # ---- inter: ME + trial, both references in one batch ----
+        R = cfg["num_ref"]
         mvp_y, mvp_x = mv_pred_local(st, oy, ox, size, ypos, xpos, fw, fh)
-        worst = jnp.zeros((Lb,), jnp.int64)
-        bestc = jnp.full((Lb,), MAX_UINT32, jnp.int64)
-        for r in range(cfg["num_ref"]):
-            ref_live = full & ((st["best_ref"] < 0) | (st["best_ref"] == r))
-            my, mx, mm, mn = add_mvcand(
-                st["mvc_y"][:, r], st["mvc_x"][:, r], st["mvc_mask"][:, r],
-                st["mvc_num"][:, r], mvp_y, mvp_x, ref_live)
-            sad_r, mv_y, mv_x = me_lc(
-                org_y, fc["raw_y"][r], PADY, ypos, xpos, size,
-                mvp_y, mvp_x, sqrt_lam, my, mx, mn, fw, fh)
-            my, mx, mm, mn = add_mvcand(my, mx, mm, mn, mv_y, mv_x,
-                                        ref_live)
-            st = dict(st)
-            st["mvc_y"] = st["mvc_y"].at[:, r].set(my)
-            st["mvc_x"] = st["mvc_x"].at[:, r].set(mx)
-            st["mvc_mask"] = st["mvc_mask"].at[:, r].set(mm)
-            st["mvc_num"] = st["mvc_num"].at[:, r].set(mn)
-            do_inter_r = sad_r < sad_intra
-            do_intra = do_intra & ~(ref_live & do_inter_r)
-            cost, fields = inter_style_trial(
-                fc, cfg, st, size, ypos, xpos, bw, bh, encode_this,
-                mv_y, mv_x, jnp.full((Lb,), r, jnp.int32), MODE_INTER,
-                (mvp_y, mvp_x), ctx_cbp, ctx_index, org_y, org_u, org_v)
-            fields["cost"] = cost
-            execd = ref_live & do_inter_r
-            best = _best_update(best, execd & (cost < best["cost"]), fields)
-            worst = jnp.where(execd, jnp.maximum(worst, cost), worst)
-            bestc = jnp.where(execd, jnp.minimum(bestc, cost), bestc)
+        refs = jnp.tile(jnp.arange(R, dtype=jnp.int32), Lb)      # [L*R]
+        ref_live = (rep(full, R) &
+                    ((rep(st["best_ref"], R) < 0) |
+                     (rep(st["best_ref"], R) == refs)))
+        my = st["mvc_y"][:, :R].reshape(Lb * R, NCAND)
+        mx = st["mvc_x"][:, :R].reshape(Lb * R, NCAND)
+        mm = st["mvc_mask"][:, :R].reshape(Lb * R)
+        mn = st["mvc_num"][:, :R].reshape(Lb * R)
+        my, mx, mm, mn = add_mvcand(my, mx, mm, mn, rep(mvp_y, R),
+                                    rep(mvp_x, R), ref_live)
+        sad_r, mv_y, mv_x = me_lc(
+            rep(org_y, R), fc["raw_y"], refs, PADY, rep(ypos, R),
+            rep(xpos, R), size, rep(mvp_y, R), rep(mvp_x, R),
+            rep(sqrt_lam, R), my, mx, mn, fw, fh)
+        my, mx, mm, mn = add_mvcand(my, mx, mm, mn, mv_y, mv_x, ref_live)
         st = dict(st)
+        st["mvc_y"] = st["mvc_y"].at[:, :R].set(
+            my.reshape(Lb, R, NCAND))
+        st["mvc_x"] = st["mvc_x"].at[:, :R].set(
+            mx.reshape(Lb, R, NCAND))
+        st["mvc_mask"] = st["mvc_mask"].at[:, :R].set(mm.reshape(Lb, R))
+        st["mvc_num"] = st["mvc_num"].at[:, :R].set(mn.reshape(Lb, R))
+        do_inter_r = sad_r < rep(sad_intra, R)
+        do_intra = full & ~(ref_live & do_inter_r).reshape(Lb, R
+                                                           ).any(axis=1)
+        cost, fields = inter_style_trial(
+            fc, cfg, st, size, rep(ypos, R), rep(xpos, R), rep(bw, R),
+            rep(bh, R), rep(encode_this, R), mv_y, mv_x, refs, MODE_INTER,
+            (rep(mvp_y, R), rep(mvp_x, R)), rep(ctx_cbp, R),
+            rep(ctx_index, R), rep(org_y, R), rep(org_u, R), rep(org_v, R))
+        execd = ref_live & do_inter_r
+        cost2 = jnp.where(execd.reshape(Lb, R), cost.reshape(Lb, R),
+                          jnp.int64(MAX_UINT32))
+        ridx, rcost = _pick_first_min(cost2)
+        rf = sel_axis(fields, cost2, ridx, R)
+        best = _best_update(best, (rcost < best["cost"]) &
+                            execd.reshape(Lb, R).any(axis=1), rf)
+        worst = jnp.where(execd.reshape(Lb, R),
+                          cost.reshape(Lb, R), 0).max(axis=1)
+        bestc = jnp.where(execd.reshape(Lb, R), cost.reshape(Lb, R),
+                          jnp.int64(MAX_UINT32)).min(axis=1)
         st["best_ref"] = jnp.where(full & (worst > 0) &
                                    (worst * 3 > bestc * 4),
                                    0, st["best_ref"])
@@ -1449,10 +1491,10 @@ def _early_eval(fc, cfg, st, oy, ox, size: int, ypos, xpos, encode_this,
     final encode of the winner.  Returns (st, early [L], cost [L])."""
     Lb = cand.shape[0]
     org_y, org_u, org_v = _org_block(st, oy, ox, size)
-    thr_c = cfg["thr_c128"] if size == SB else cfg["thr_c"]
+    thr_c = fc["dyn"]["thr_c128"] if size == SB else fc["dyn"]["thr_c"]
     ok = early_skip_check(fc, cfg, cand, nsv, ypos, xpos, size,
                           org_y, org_u, org_v,
-                          cfg["thr_l"][size], thr_c)
+                          fc["dyn"]["thr_l_%d" % size], thr_c)
     early = alive & encode_this & ok.any(axis=1)
     bws = jnp.full((Lb,), size, jnp.int32)
     cost2, preds = skip_trials(fc, cfg, st, oy, ox, size, ypos, xpos,
@@ -1566,14 +1608,17 @@ def body_16sub(st, fc, oy, ox, nid, cfg):
         descend = alive & ~early
     else:
         descend = alive & ~early & (
-            (~encode_this) | (cost16 > cfg["thr16"]))
+            (~encode_this) | (cost16 > fc["dyn"]["thr16"]))
 
-    # ---- children (NW, SW, NE, SE) ----
-    cs = jnp.where(descend, jnp.int64(0), jnp.int64(1 << 28))
-    for dy, dx in child_offsets(size):
+    # ---- children (NW, SW, NE, SE) as a fori_loop (one trace) ----
+    cs0 = jnp.where(descend, jnp.int64(0), jnp.int64(1 << 28))
+
+    def child_body(i, carry):
+        st, cs = carry
+        dy = (i & 1) * 8
+        dx = (i >> 1) * 8
         coy, cox = oy + dy, ox + dx
-        cnid = nid - N_OFF[16]
-        cnid = N_OFF[8] + cnid * 4 + (dy // 8) * 2 + (dx // 8)
+        cnid = N_OFF[8] + (nid - N_OFF[16]) * 4 + (dy // 8) * 2 + (dx // 8)
         y8 = ypos + dy
         x8 = xpos + dx
         exists8 = descend & (y8 + 8 <= cfg["h"]) & (x8 + 8 <= cfg["w"])
@@ -1604,7 +1649,9 @@ def body_16sub(st, fc, oy, ox, nid, cfg):
         contrib = jnp.where(early8, ec8,
                             jnp.where(exists8,
                                       jnp.minimum(cost8, 1 << 28), 0))
-        cs = cs + jnp.where(descend, contrib, 0)
+        return st, cs + jnp.where(descend, contrib, 0)
+
+    st, cs = jax.lax.fori_loop(0, 4, child_body, (st, cs0))
 
     # ---- split compare (cost <= cost_small keeps the 16 winner) ----
     chose16 = ran & ~early & (cost16 <= cs)
@@ -1804,45 +1851,52 @@ IQ8 = [6, 7, 8, 8, 10, 11, 12, 13, 15, 17, 19, 21, 24, 27, 30, 34,
 
 
 def build_cfg(enc):
+    """Static jit config (frame type / geometry / feature flags only -
+    everything qp-derived is traced via build_dyn, so a whole sequence
+    compiles each body once per frame type)."""
+    p = enc.params
+    fi = enc.fi
+    return LCCfg(w=p.width, h=p.height,
+                 num_ref=max(fi.num_ref, 1),
+                 is_i=(fi.frame_type == I_FRAME),
+                 cfl_intra=p.cfl_intra, ctx=p.use_block_contexts)
+
+
+def build_dyn(enc):
+    """Traced per-frame scalars (qp ladder, lambda, early-skip
+    thresholds, the 16->8 top-down threshold)."""
     p = enc.params
     fi = enc.fi
     qp = fi.qp
     qpC = int(CHROMA_QP[qp])
-    lam = fi.lambda_coeff * __import__(
-        "thor_tpu.enc.encoder", fromlist=["SQUARED_LAMBDA_QP"]
-    ).SQUARED_LAMBDA_QP[qp]
+    from .encoder import SQUARED_LAMBDA_QP
+    lam = fi.lambda_coeff * SQUARED_LAMBDA_QP[qp]
     sqrt_lam = math.sqrt(lam)
-    thr_l = {}
-    thr_c = None
+    dyn = {
+        "qp": jnp.int32(qp), "qpC": jnp.int32(qpC),
+        "lam": jnp.float64(lam), "sqrt_lam": jnp.float64(sqrt_lam),
+        "isqrt_bias": jnp.int64(int(sqrt_lam * 2 + 0.5)),
+        "thr16": jnp.int64(16 * 16 * IQ8[qp] // 8),
+    }
     for size in (8, 16, 32, 64, 128):
         tl, tc = early_skip_thresholds(qp, qpC, p.early_skip_thr,
                                        sb_bump=(size == SB))
         s2 = min(size, 32) // 2
-        thr_l[size] = tl[s2]
+        dyn["thr_l_%d" % size] = jnp.int32(tl[s2])
         if size == 8:
-            thr_c = tc           # non-bumped sizes share one chroma thr
-    _, thr_c128 = early_skip_thresholds(qp, qpC, p.early_skip_thr, True)
-    return LCCfg(w=p.width, h=p.height, qp=qp, qpC=qpC,
-                 num_ref=max(fi.num_ref, 1),
-                 is_i=(fi.frame_type == I_FRAME),
-                 lam=lam, sqrt_lam=sqrt_lam,
-                 isqrt_bias=int(sqrt_lam * 2 + 0.5),
-                 cfl_intra=p.cfl_intra, ctx=p.use_block_contexts,
-                 thr16=16 * 16 * IQ8[qp] // 8,
-                 thr_l=tuple(sorted(thr_l.items())),
-                 thr_c=thr_c, thr_c128=thr_c128)
+            dyn["thr_c"] = jnp.int32(tc)
+        if size == 128:
+            dyn["thr_c128"] = jnp.int32(tc)
+    return dyn
 
 
 class _CfgView:
-    """Adapter giving body code dict access incl. per-size thresholds."""
+    """Kept for compatibility: plain pass-through of the static cfg."""
 
     def __init__(self, cfg: LCCfg):
         self._cfg = cfg
-        self._thr = dict(cfg["thr_l"])
 
     def __getitem__(self, k):
-        if k == "thr_l":
-            return self._thr
         return self._cfg[k]
 
     def __hash__(self):
@@ -1866,6 +1920,7 @@ def encode_frame_device(enc):
     cfg0 = build_cfg(enc)
     cfg = _CfgView(cfg0)
     fc, org = build_frame_consts(enc)
+    fc["dyn"] = build_dyn(enc)
     fs = alloc_frame_state(w, h, nsb)
 
     # wavefront schedule: s = 2k + l (deps: left, top-left, top, top-right)
@@ -1878,8 +1933,26 @@ def encode_frame_device(enc):
             diagonals.append((lanes, idx))
     Lmax = max(len(lanes) for lanes, _ in diagonals)
 
-    for lanes, idx in diagonals:
-        fs = run_diagonal(fs, fc, cfg, org, lanes, idx, Lmax, nsb)
+    import os
+    if os.environ.get("THOR_LC_MEGAKERNEL", "1") == "1":
+        D = len(diagonals)
+        sby_d = np.zeros((D, Lmax), np.int32)
+        sbx_d = np.zeros((D, Lmax), np.int32)
+        live_d = np.zeros((D, Lmax), bool)
+        sbi_d = np.full((D, Lmax), nsb, np.int32)
+        for di, (lanes, idx) in enumerate(diagonals):
+            for li, ((yy, xx), ii) in enumerate(zip(lanes, idx)):
+                sby_d[di, li] = yy
+                sbx_d[di, li] = xx
+                live_d[di, li] = True
+                sbi_d[di, li] = ii
+        fs = frame_megakernel(fs, fc, org[0], org[1], org[2],
+                              jnp.asarray(sby_d), jnp.asarray(sbx_d),
+                              jnp.asarray(live_d), jnp.asarray(sbi_d),
+                              cfg, Lmax, nsb)
+    else:
+        for lanes, idx in diagonals:
+            fs = run_diagonal(fs, fc, cfg, org, lanes, idx, Lmax, nsb)
 
     # pull results
     recA = np.asarray(fs["recA"][:nsb])
@@ -1979,3 +2052,133 @@ def emit_frame(enc, recA, recC, nsh: int, nsv: int):
     for k in range(nsv):
         for sl in range(nsh):
             emit(k * nsh + sl, k * SB, sl * SB, SB, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# dynamic-qp quantizer / dequantizer (traced qp: one compile per frame type)
+# ---------------------------------------------------------------------------
+
+def quantize_dyn(coeff, qp, size: int, intra_block):
+    """ops.quant.quantize_batch with traced qp and intra flag
+    (enc/encode_block.c:84-160)."""
+    from ..ops.quant import _zz_perms, _compose
+    tr_log2size = log2i(size)
+    qsize = min(16, size)
+    n2 = qsize * qsize
+    scale = jnp.asarray(GQUANT)[qp % 6].astype(jnp.int32)
+    shift2 = 21 - tr_log2size + qp // 6
+    zz, inv = _zz_perms(qsize)
+    c = coeff.reshape(coeff.shape[0], n2).astype(jnp.int32)
+    sc = jnp.take(c, jnp.asarray(inv), axis=1)
+    absc = jnp.abs(sc)
+    sign = jnp.where(sc < 0, -1, 1).astype(jnp.int32)
+    a = absc * scale
+    off_r = jnp.where(intra_block, 38, -26) << (shift2 - 8)
+    lev_r = jnp.abs(a + off_r) >> shift2
+    nz = lev_r != 0
+    idx = jnp.arange(n2, dtype=jnp.int32)
+    last_pos = jnp.max(jnp.where(nz, idx, -1), axis=1)
+    offset0 = jnp.where(intra_block, 102, 51)
+    offset1 = jnp.where(intra_block, 115, 90)
+    level0 = a >> shift2
+    off_s0 = jnp.where(level0 > 1, offset1, offset0) << (shift2 - 8)
+    off_s1 = jnp.where(level0 > 0, offset1, offset0) << (shift2 - 8)
+    lv0 = (a + off_s0) >> shift2
+    lv1 = (a + off_s1) >> shift2
+    active = idx[None, :] <= last_pos[:, None]
+    m0 = jnp.where(active, (lv0 > 1).astype(jnp.int32), 0)
+    m1 = jnp.where(active, (lv1 != 0).astype(jnp.int32), 1)
+    cm0, cm1 = jax.lax.associative_scan(_compose, (m0, m1), axis=1)
+    state = jnp.concatenate(
+        [jnp.ones((sc.shape[0], 1), jnp.int32), cm1[:, :-1]], axis=1)
+    level = jnp.where(state == 1, lv1, lv0)
+    level = jnp.where(active, level, 0)
+    scq = sign * level
+    cbp = jnp.any(scq != 0, axis=1).astype(jnp.int32)
+    cq = jnp.take(scq, jnp.asarray(zz), axis=1).reshape(
+        coeff.shape[0], qsize, qsize)
+    return cq, cbp
+
+
+def dequantize_dyn(coeff, qp, size: int):
+    """ops.transform.dequantize_batch with traced qp
+    (common/common_block.c:45-73, unweighted)."""
+    from ..tables import GDEQUANT
+    tr_log2size = log2i(size)
+    lshift = qp // 6
+    qsize = min(16, size)
+    rshift = tr_log2size - 1
+    scale = jnp.asarray(GDEQUANT)[qp % 6].astype(jnp.int64)
+    c = coeff[:, :qsize, :qsize].astype(jnp.int64)
+    hi = (c * scale) << jnp.maximum(lshift - rshift, 0)
+    add = jnp.int64(1) << jnp.maximum(rshift - lshift - 1, 0)
+    lo = (c * scale + add) >> jnp.maximum(rshift - lshift, 0)
+    r = jnp.where(lshift >= rshift, hi, lo)
+    r = _i16_j(r.astype(jnp.int32))
+    out = jnp.zeros((coeff.shape[0], size, size), jnp.int32)
+    return out.at[:, :qsize, :qsize].set(r)
+
+
+# ---------------------------------------------------------------------------
+# one-call-per-frame megakernel (scan over diagonals / program / switch)
+# ---------------------------------------------------------------------------
+
+def _step_switch(st, fc, cfg, kind, oy, ox, nid):
+    """lax.switch over the node-body kinds (each branch traced once)."""
+    def b_e128(s):
+        return body_enter(s, fc, oy, ox, nid, 128, cfg)
+
+    def b_e64(s):
+        return body_enter(s, fc, oy, ox, nid, 64, cfg)
+
+    def b_e32(s):
+        return body_enter(s, fc, oy, ox, nid, 32, cfg)
+
+    def b_d32(s):
+        return body_decide(s, fc, oy, ox, nid, 32, cfg)
+
+    def b_d64(s):
+        return body_decide(s, fc, oy, ox, nid, 64, cfg)
+
+    def b_d128(s):
+        return body_decide(s, fc, oy, ox, nid, 128, cfg)
+
+    def b_16(s):
+        return body_16sub(s, fc, oy, ox, nid, cfg)
+
+    return jax.lax.switch(kind, [b_e128, b_e64, b_e32, b_d32, b_d64,
+                                 b_d128, b_16], st)
+
+
+@partial(jax.jit, static_argnames=("cfg", "L", "nsb"),
+         donate_argnames=("fs",))
+def frame_megakernel(fs, fc, org_y, org_u, org_v, sby_d, sbx_d, live_d,
+                     sbi_d, cfg, L: int, nsb: int):
+    """Whole-frame SB decision pass in one device call.
+
+    sby_d/sbx_d [D, L], live_d [D, L], sbi_d [D, L]: per-diagonal lane
+    tables (padded to L lanes).  Scans diagonals sequentially; each
+    diagonal gathers lane state, runs the 106-step node program with a
+    kind switch, and flushes back into the frame state.
+    """
+    prog_kind = jnp.asarray([k for k, _, _ in _PROGRAM], jnp.int32)
+    prog_oy = jnp.asarray([oy for _, oy, _ in _PROGRAM], jnp.int32)
+    prog_ox = jnp.asarray([ox for _, _, ox in _PROGRAM], jnp.int32)
+    prog_nid = jnp.asarray(_PROG_NID, jnp.int32)
+
+    def diag_body(fs, xs):
+        sby, sbx, live, sbi = xs
+        st = gather_lanes(fs, org_y, org_u, org_v, sby, sbx, live, L)
+
+        def prog_body(st, step):
+            kind, oy, ox, nid = step
+            st = _step_switch(st, fc, cfg, kind, oy, ox, nid)
+            return st, ()
+
+        st, _ = jax.lax.scan(prog_body, st,
+                             (prog_kind, prog_oy, prog_ox, prog_nid))
+        fs = flush_lanes(fs, st, sbi, L, nsb)
+        return fs, ()
+
+    fs, _ = jax.lax.scan(diag_body, fs, (sby_d, sbx_d, live_d, sbi_d))
+    return fs

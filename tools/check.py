@@ -13,6 +13,12 @@ reference's filename convention.  Without FILES, random clips are
 generated at the reference's sizes (1920x1080, 1280x720, 640x480,
 640x360).  NOTE: the reference uses 3 random frames by default; random
 content exercises the full mode space.
+
+If the reference binaries exist (tools/build_oracle.sh ->
+/tmp/oracle/build/Thorenc|Thordec), each clip is additionally
+cross-checked both ways (SURVEY.md section 4): our stream must decode
+bit-exactly under Thordec, and Thorenc's stream under our decoder, with
+byte-identical bitstreams from both encoders.
 """
 import glob
 import os
@@ -23,6 +29,8 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SIZES = [(1920, 1080), (1280, 720), (640, 480), (640, 360)]
+ORACLE_ENC = "/tmp/oracle/build/Thorenc"
+ORACLE_DEC = "/tmp/oracle/build/Thordec"
 
 
 def run(args):
@@ -30,6 +38,39 @@ def run(args):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run([sys.executable, "-m", "thor_tpu.cli"] + args,
                           env=env, capture_output=True, text=True)
+
+
+def cross_check(tmpdir, config, f, w, h, fps, frames, stf, recf):
+    """Cross-test against the reference binaries (if built)."""
+    if not (os.path.exists(ORACLE_ENC) and os.path.exists(ORACLE_DEC)):
+        return 0
+    ref_st = os.path.join(tmpdir, "ref_str.bit")
+    ref_rec = os.path.join(tmpdir, "ref_rec.yuv")
+    r = subprocess.run(
+        [ORACLE_ENC, "-cf", config, "-width", str(w), "-height", str(h),
+         "-if", f, "-of", ref_st, "-rf", ref_rec, "-n", str(frames),
+         "-f", str(fps)], capture_output=True, text=True)
+    if r.returncode != 0:
+        print("reference encoder failed (skipping cross-check)")
+        return 0
+    rc = 0
+    if open(ref_st, "rb").read() != open(stf, "rb").read():
+        print("CROSS: bitstream differs from Thorenc")
+        rc = 1
+    ref_out = os.path.join(tmpdir, "ref_out.yuv")
+    subprocess.run([ORACLE_DEC, stf, ref_out], capture_output=True)
+    if open(ref_out, "rb").read() != open(recf, "rb").read():
+        print("CROSS: Thordec(our stream) != our recon")
+        rc = 1
+    our_out = os.path.join(tmpdir, "our_out.yuv")
+    r = run(["dec", ref_st, our_out])
+    if (r.returncode != 0 or
+            open(our_out, "rb").read() != open(ref_rec, "rb").read()):
+        print("CROSS: our decoder(Thorenc stream) != Thorenc recon")
+        rc = 1
+    if rc == 0:
+        print("cross-check vs reference binaries OK")
+    return rc
 
 
 def main():
@@ -87,6 +128,7 @@ def main():
             print("Encoder/Decoder mismatch detected. Frame nr.:",
                   at // fsize + 1)
             rc = 1
+        rc |= cross_check(tmpdir, config, f, w, h, fps, frames, stf, recf)
     return rc
 
 
