@@ -32,6 +32,18 @@ def test_tiny64_ldb_low_complexity():
     _check("tiny64_ldblc")
 
 
+def test_tiny64_host_pixel_path(monkeypatch):
+    """The numpy (spec) pixel path stays covered now that the device
+    pixel pipeline (dec/device_pixels.py) is the default."""
+    monkeypatch.setenv("THOR_DEVICE_PIXELS", "0")
+    _check("tiny64_ldblc")
+
+
+def test_interp_ref2_host_pixel_path(monkeypatch):
+    monkeypatch.setenv("THOR_DEVICE_PIXELS", "0")
+    _check("ir2_128")
+
+
 @pytest.mark.slow
 def test_smooth_cif_ldb_low_complexity():
     _check("smooth_cif_ldblc")

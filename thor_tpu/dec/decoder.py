@@ -307,6 +307,14 @@ class Decoder:
         import os as _os
         self.use_device_filters = _os.environ.get(
             "THOR_DEVICE_FILTERS", "1") != "0"
+        # Device pixel pipeline (MC/dequant/itx/recon for whole P/B frames
+        # in batched device calls, dec/device_pixels.py).  Same default and
+        # fallback story as the filters.
+        self.use_device_pixels = _os.environ.get(
+            "THOR_DEVICE_PIXELS", "1") != "0"
+        self._plan = None
+        self._plan_slots = None
+        self._plan_refs = None
         if self.use_device_filters:
             # Probe the backend once; degrade to the spec filters instead
             # of crashing when no JAX backend can initialize (e.g. libtpu
@@ -320,6 +328,8 @@ class Decoder:
                       "back to host loop filters" % type(e).__name__,
                       file=_sys.stderr)
                 self.use_device_filters = False
+        if not self.use_device_filters:
+            self.use_device_pixels = False
 
     # ----- super mode -----
     def decode_super_mode(self, s: BitReader, size, decode_this_size, ctx_index):
@@ -692,23 +702,22 @@ class Decoder:
                 return None
             return self.iwmatrix[ql][plane][intra_f]
 
+        if self._plan is not None:
+            # device pixel pipeline: defer all pixel work (device_pixels)
+            from . import device_pixels as DP
+            if mode == MODE_INTRA:
+                self._plan.intra.append((size, ypos, xpos, bp, coeffs,
+                                         qpY, qpC))
+            else:
+                DP.plan_block_mc(self._plan, self, bp, size, ypos, xpos,
+                                 bwidth, bheight, self._plan_slots)
+                if mode != MODE_SKIP:
+                    self._plan_tbs(bp, coeffs, size, ypos, xpos, qpY, qpC)
+            self._copy_deblock_data(bp, size, ypos, xpos, bwidth, bheight)
+            return
+
         if mode == MODE_INTRA:
-            sb_size = 1 << h.log2_sb_size
-            ur = inter.get_upright_available(ypos, xpos, size, size,
-                                             self.width, self.height, sb_size)
-            dl = inter.get_downleft_available(ypos, xpos, size, size,
-                                              self.width, self.height, sb_size)
-            im = bp["intra_mode"]
-            pred_y = self._intra_recon(rec.y, ypos, xpos, sizeY, qpY,
-                                       coeffs["y"], tb_split, ur, dl, im,
-                                       iwm(0, 1), h.bitdepth)
-            if not self.mono:
-                self._intra_recon_uv(rec.u, rec.v, ypos >> sub, xpos >> sub,
-                                     sizeC, qpC, coeffs["u"], coeffs["v"],
-                                     tb_split and sizeC > 4, ur, dl, im,
-                                     iwm(1, 1),
-                                     pred_y if h.cfl_intra else None,
-                                     rec.y, ypos, xpos, sub, h.bitdepth)
+            self._intra_block(bp, coeffs, size, ypos, xpos, qpY, qpC, iwm)
         else:
             # inter prediction
             py, pu, pv = self._inter_pred(bp, size, ypos, xpos, bwidth,
@@ -750,6 +759,89 @@ class Decoder:
                 rec.v[yC:yC + sizeC, xC:xC + sizeC] = \
                     reconstruct_block(rv, pv, h.bitdepth).astype(rec.dtype)
         self._copy_deblock_data(bp, size, ypos, xpos, bwidth, bheight)
+
+    def _intra_block(self, bp, coeffs, size, ypos, xpos, qpY, qpC, iwm):
+        """Intra branch of decode_block (dec/decode_block.c:245-276)."""
+        h = self.h
+        rec = self.rec
+        sub = self.sub
+        sizeC = size >> sub
+        tb_split = bp["tb_split"]
+        sb_size = 1 << h.log2_sb_size
+        ur = inter.get_upright_available(ypos, xpos, size, size,
+                                         self.width, self.height, sb_size)
+        dl = inter.get_downleft_available(ypos, xpos, size, size,
+                                          self.width, self.height, sb_size)
+        im = bp["intra_mode"]
+        pred_y = self._intra_recon(rec.y, ypos, xpos, size, qpY,
+                                   coeffs["y"], tb_split, ur, dl, im,
+                                   iwm(0, 1), h.bitdepth)
+        if not self.mono:
+            self._intra_recon_uv(rec.u, rec.v, ypos >> sub, xpos >> sub,
+                                 sizeC, qpC, coeffs["u"], coeffs["v"],
+                                 tb_split and sizeC > 4, ur, dl, im,
+                                 iwm(1, 1),
+                                 pred_y if h.cfl_intra else None,
+                                 rec.y, ypos, xpos, sub, h.bitdepth)
+
+    def _plan_tbs(self, bp, coeffs, size, ypos, xpos, qpY, qpC):
+        """Record the block's transform units into the frame plan."""
+        plan = self._plan
+        sub = self.sub
+        sizeC = size >> sub
+        yC, xC = ypos >> sub, xpos >> sub
+
+        def qs(s):
+            return min(s, 16)
+
+        if not bp["tb_split"]:
+            if bp["cbp"][0]:
+                plan.add_tb("y", size, ypos, xpos, qpY,
+                            coeffs["y"][:qs(size), :qs(size)])
+            if not self.mono:
+                if bp["cbp"][1]:
+                    plan.add_tb("u", sizeC, yC, xC, qpC,
+                                coeffs["u"][:qs(sizeC), :qs(sizeC)])
+                if bp["cbp"][2]:
+                    plan.add_tb("v", sizeC, yC, xC, qpC,
+                                coeffs["v"][:qs(sizeC), :qs(sizeC)])
+            return
+        s2 = size // 2
+        for index in range(4):
+            i, j = (index >> 1) * s2, (index & 1) * s2
+            c = coeffs["y"][index]
+            if c.any():
+                plan.add_tb("y", s2, ypos + i, xpos + j, qpY,
+                            c[:qs(s2), :qs(s2)])
+        if self.mono:
+            return
+        if sizeC > 4:
+            sc2 = sizeC // 2
+            for index in range(4):
+                i, j = (index >> 1) * sc2, (index & 1) * sc2
+                cu = coeffs["u"][index]
+                if cu.any():
+                    plan.add_tb("u", sc2, yC + i, xC + j, qpC,
+                                cu[:qs(sc2), :qs(sc2)])
+                cv = coeffs["v"][index]
+                if cv.any():
+                    plan.add_tb("v", sc2, yC + i, xC + j, qpC,
+                                cv[:qs(sc2), :qs(sc2)])
+        else:
+            if coeffs["u"] is not None and coeffs["u"].any():
+                plan.add_tb("u", sizeC, yC, xC, qpC,
+                            coeffs["u"][:qs(sizeC), :qs(sizeC)])
+            if coeffs["v"] is not None and coeffs["v"].any():
+                plan.add_tb("v", sizeC, yC, xC, qpC,
+                            coeffs["v"][:qs(sizeC), :qs(sizeC)])
+
+    def _replay_intra(self):
+        """Reconstruct the frame's deferred intra blocks in coding order
+        (their left/top neighbours - device-decoded inter or earlier
+        intra - are final by now)."""
+        for (size, ypos, xpos, bp, coeffs, qpY, qpC) in self._plan.intra:
+            self._intra_block(bp, coeffs, size, ypos, xpos, qpY, qpC,
+                              lambda plane, intra_f: None)
 
     def _inter_residual(self, coeff, size, qp, tb_split, iwmatrix, bitdepth):
         """decode_and_reconstruct_block_inter minus the final add."""
@@ -1107,12 +1199,37 @@ class Decoder:
         self.bc.frame_type[self.stat_frame_type] += 1
 
         fi.qpb = qp
+
+        # Device pixel pipeline: host entropy scan fills a dense frame
+        # plan; the device executes MC + residual + recon in batched calls
+        # and the few intra blocks replay on the host afterwards.
+        if (self.use_device_pixels and fi.frame_type != I_FRAME
+                and h.subsample == 420 and not h.qmtx and not h.cfl_inter):
+            from . import device_pixels as DP
+            slots, refs = {}, []
+            for r in range(fi.num_ref):
+                ra = fi.ref_array[r]
+                if ra not in slots:
+                    slots[ra] = len(refs)
+                    refs.append(self._ref_frame(ra))
+            self._plan = DP.FramePlan(self.width, self.height)
+            self._plan_slots = slots
+            self._plan_refs = refs
+
         sb_size = 1 << h.log2_sb_size
         num_sb_hor = (self.width + sb_size - 1) // sb_size
         num_sb_ver = (self.height + sb_size - 1) // sb_size
         for k in range(num_sb_ver):
             for l in range(num_sb_hor):
                 self.process_block(s, sb_size, k * sb_size, l * sb_size)
+
+        if self._plan is not None:
+            from . import device_pixels as DP
+            DP.execute(self, self._plan, self._plan_slots, self._plan_refs)
+            self._replay_intra()
+            self._plan = None
+            self._plan_slots = None
+            self._plan_refs = None
 
         qp = fi.qp = fi.qpb
 
