@@ -1179,7 +1179,8 @@ class Decoder:
         self.rec.frame_num = fi.display_frame_num
 
         if fi.num_ref > 2 and fi.ref_array[0] == -1:
-            from ..spec.tempinterp import interpolate_frames
+            from ..ops.tempinterp import \
+                interpolate_frames_auto as interpolate_frames
             ref1 = self.ref[fi.ref_array[1]]
             ref2 = self.ref[fi.ref_array[2]]
             dfn = fi.display_frame_num

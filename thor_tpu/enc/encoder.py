@@ -1597,8 +1597,9 @@ def encode_sequence(params: EncParams, yuv: bytes, progress=None):
                                     coded_phase -
                                     dcm[display_phase + ref_offset + 1] - 1)
                                 fi.ref_array[0] = -1
-                                from ..spec.tempinterp import \
-                                    interpolate_frames
+                                from ..ops.tempinterp import \
+                                    interpolate_frames_auto \
+                                    as interpolate_frames
                                 ref1 = enc.ref[fi.ref_array[1]]
                                 ref2 = enc.ref[fi.ref_array[2]]
                                 interpolate_frames(enc.interp_frames[0],
@@ -1643,8 +1644,9 @@ def encode_sequence(params: EncParams, yuv: bytes, progress=None):
                                         if phase == 0 else
                                         min(phase, num_encoded - 1))
                                 fi.ref_array[0] = -1
-                                from ..spec.tempinterp import \
-                                    interpolate_frames
+                                from ..ops.tempinterp import \
+                                    interpolate_frames_auto \
+                                    as interpolate_frames
                                 ref1 = enc.ref[fi.ref_array[1]]
                                 ref2 = enc.ref[fi.ref_array[2]]
                                 interpolate_frames(
