@@ -104,8 +104,18 @@ def _plan_chroma(mvy, mvx, ypos, xpos, bw, bh, sign, W2, H2, cl_y, cl_x):
     return OP_SIXTAP, y0, x0, vf, hf
 
 
+def _pad_to(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
 class FramePlan:
-    """Per-frame dense MC parameter grids + TB residual lists."""
+    """Per-frame dense MC parameter grids + dense TB residual planes.
+
+    Residuals are stored TPU-first: one dense coefficient plane per
+    colour plane (each TB's top-left min(16,s)^2 coeffs written at its
+    plane position) plus per-4x4-cell qp / log2-TB-size grids, so the
+    device can inverse-transform the whole frame with static shapes
+    (no per-batch recompiles, one dispatch)."""
 
     def __init__(self, width, height):
         self.w, self.h = width, height
@@ -121,14 +131,27 @@ class FramePlan:
                                     "op1", "y0_1", "x0_1", "vf1", "hf1")}
         self.avg = z()            # 1 = average lists (dir==2 / temp)
         self.inter = z()          # 1 = cell written by device pass
-        # TB residual entries: per plane-kind lists keyed by tb size
-        self.tbs = {"y": {}, "u": {}, "v": {}}
+        # dense residual planes (padded so every TB size tiles evenly)
+        hp, wp = _pad_to(height, 128), _pad_to(width, 128)
+        hc, wc = _pad_to(height // 2, 64), _pad_to(width // 2, 64)
+        self.coef = {"y": np.zeros((hp, wp), np.int16),
+                     "u": np.zeros((hc, wc), np.int16),
+                     "v": np.zeros((hc, wc), np.int16)}
+        self.qp4 = {"y": np.zeros((hp // 4, wp // 4), np.int32),
+                    "c": np.zeros((hc // 4, wc // 4), np.int32)}
+        self.ls4 = {"y": np.zeros((hp // 4, wp // 4), np.int32),
+                    "c": np.zeros((hc // 4, wc // 4), np.int32)}
         self.intra = []           # deferred intra blocks (coding order)
 
     def add_tb(self, plane: str, size: int, cy: int, cx: int, qp: int,
                coeff: np.ndarray):
         """One transform block: top-left (cy,cx) in plane coords."""
-        self.tbs[plane].setdefault(size, []).append((cy, cx, qp, coeff))
+        qs = min(size, 16)
+        self.coef[plane][cy:cy + qs, cx:cx + qs] = coeff[:qs, :qs]
+        g = "y" if plane == "y" else "c"
+        self.qp4[g][cy // 4:(cy + size) // 4, cx // 4:(cx + size) // 4] = qp
+        self.ls4[g][cy // 4:(cy + size) // 4,
+                    cx // 4:(cx + size) // 4] = log2i(size)
 
     # ---- per-PB fills -----------------------------------------------
     def fill_luma(self, lst: int, ypos, xpos, bw, bh, plan):
@@ -375,18 +398,99 @@ def residual_batch(coeff, qp, size: int, bitdepth: int):
 
 
 # ---------------------------------------------------------------------------
-# frame executor
+# frame executor: ONE jitted dispatch for the whole frame's pixel work
 # ---------------------------------------------------------------------------
 
-_PAD = 16  # device plane pad so full-size blocks may overhang the frame
+def _dense_residual(coefp, qp4, ls4, bd: int, sizes):
+    """Inverse-transform every TB of a plane with static shapes.
+
+    coefp [hp,wp] int16 dense coefficient plane (hp/wp multiples of the
+    largest size); qp4/ls4 [hp/4,wp/4].  For each size the whole plane is
+    tiled and transformed, then tiles whose log2-size matches are
+    selected - redundant FLOPs, zero dynamic shapes (the TPU trade)."""
+    hp, wp = coefp.shape
+    res = jnp.zeros((hp, wp), jnp.int32)
+    for s in sizes:
+        if s > hp or s > wp:
+            continue
+        qs = min(s, 16)
+        nh, nw = hp // s, wp // s
+        t = (coefp.reshape(nh, s, nw, s)[:, :qs, :, :qs]
+             .transpose(0, 2, 1, 3).reshape(nh * nw, qs, qs))
+        qp_t = qp4[::s // 4, ::s // 4].reshape(-1)
+        r = residual_batch(t.astype(jnp.int32), qp_t, s, bd)
+        pl = (r.reshape(nh, nw, s, s).transpose(0, 2, 1, 3)
+              .reshape(hp, wp))
+        m = ls4[::s // 4, ::s // 4] == log2i(s)
+        pm = jnp.repeat(jnp.repeat(m, s, 0), s, 1)
+        res = jnp.where(pm, pl, res)
+    return res
 
 
-def _scatter_tiles(plane, tiles, cy, cx, size):
-    """Scatter non-overlapping [N,size,size] tiles into a padded plane."""
-    n = tiles.shape[0]
-    yy = (cy[:, None] + jnp.arange(size))[:, :, None]
-    xx = (cx[:, None] + jnp.arange(size))[:, None, :]
-    return plane.at[yy, xx].set(tiles)
+@partial(jax.jit, static_argnames=("H", "W", "bd", "pad", "pad_c",
+                                   "has_avg"))
+def frame_exec(ystack, ustack, vstack, lg, cg, avg, coef_y, qp4_y, ls4_y,
+               coef_u, coef_v, qp4_c, ls4_c, H: int, W: int, bd: int,
+               pad: int, pad_c: int, has_avg: bool):
+    """MC + dequant/itx + reconstruct for a whole frame in one dispatch.
+
+    Returns one packed int16 buffer [H + H/2, W]: luma on top, u|v
+    side-by-side below (a single device->host pull)."""
+    gh, gw = H // 4, W // 4
+    H2, W2 = H // 2, W // 2
+    ystack = ystack.astype(jnp.int32)
+    ustack = ustack.astype(jnp.int32)
+    vstack = vstack.astype(jnp.int32)
+
+    # ---- luma MC ----
+    p0 = mc_cells_luma(ystack, lg["r0"], lg["y0_0"] + pad,
+                       lg["x0_0"] + pad, lg["op0"], lg["vf0"], lg["hf0"],
+                       lg["fs0"], 4, bd)
+    if has_avg:
+        p1 = mc_cells_luma(ystack, lg["r1"], lg["y0_1"] + pad,
+                           lg["x0_1"] + pad, lg["op1"], lg["vf1"],
+                           lg["hf1"], lg["fs1"], 4, bd)
+        p0 = jnp.where(avg[:, None, None] == 1, (p0 + p1) >> 1, p0)
+    pred_y = p0.reshape(gh, gw, 4, 4).transpose(0, 2, 1, 3).reshape(H, W)
+
+    # ---- chroma MC (4:2:0) ----
+    pu0 = mc_cells_chroma(ustack, lg["r0"], cg["y0_0"] + pad_c,
+                          cg["x0_0"] + pad_c, cg["op0"], cg["vf0"],
+                          cg["hf0"], 2, bd)
+    pv0 = mc_cells_chroma(vstack, lg["r0"], cg["y0_0"] + pad_c,
+                          cg["x0_0"] + pad_c, cg["op0"], cg["vf0"],
+                          cg["hf0"], 2, bd)
+    if has_avg:
+        pu1 = mc_cells_chroma(ustack, lg["r1"], cg["y0_1"] + pad_c,
+                              cg["x0_1"] + pad_c, cg["op1"], cg["vf1"],
+                              cg["hf1"], 2, bd)
+        pv1 = mc_cells_chroma(vstack, lg["r1"], cg["y0_1"] + pad_c,
+                              cg["x0_1"] + pad_c, cg["op1"], cg["vf1"],
+                              cg["hf1"], 2, bd)
+        pu0 = jnp.where(avg[:, None, None] == 1, (pu0 + pu1) >> 1, pu0)
+        pv0 = jnp.where(avg[:, None, None] == 1, (pv0 + pv1) >> 1, pv0)
+    pred_u = pu0.reshape(gh, gw, 2, 2).transpose(0, 2, 1, 3).reshape(H2, W2)
+    pred_v = pv0.reshape(gh, gw, 2, 2).transpose(0, 2, 1, 3).reshape(H2, W2)
+
+    # ---- dense residuals ----
+    res_y = _dense_residual(coef_y, qp4_y, ls4_y, bd,
+                            (4, 8, 16, 32, 64, 128))[:H, :W]
+    res_u = _dense_residual(coef_u, qp4_c, ls4_c, bd,
+                            (4, 8, 16, 32, 64))[:H2, :W2]
+    res_v = _dense_residual(coef_v, qp4_c, ls4_c, bd,
+                            (4, 8, 16, 32, 64))[:H2, :W2]
+
+    # ---- reconstruct (pred routed through int16 like the reference) ----
+    maxv = (1 << bd) - 1
+
+    def recon(pred, res):
+        p16 = ((pred << 16) >> 16)
+        return jnp.clip(p16 + res, 0, maxv).astype(jnp.int16)
+
+    rec_y = recon(pred_y, res_y)
+    rec_uv = jnp.concatenate([recon(pred_u, res_u),
+                              recon(pred_v, res_v)], axis=1)
+    return jnp.concatenate([rec_y, rec_uv], axis=0)
 
 
 def execute(dec, plan: FramePlan, ref_slots, ref_frames):
@@ -394,100 +498,30 @@ def execute(dec, plan: FramePlan, ref_slots, ref_frames):
     h = dec.h
     W, H = dec.width, dec.height
     bd = h.bitdepth
-    gh, gw = H // 4, W // 4
+    H2 = H // 2
 
-    # ---- reference stacks ----
     ystack = jnp.asarray(np.stack([r.y_full for r in ref_frames])
-                         .astype(np.int32))
+                         .astype(np.int16))
     ustack = jnp.asarray(np.stack([r.u_full for r in ref_frames])
-                         .astype(np.int32))
+                         .astype(np.int16))
     vstack = jnp.asarray(np.stack([r.v_full for r in ref_frames])
-                         .astype(np.int32))
+                         .astype(np.int16))
     pad = ref_frames[0].pad
     pad_c = ref_frames[0].pad_c
 
-    ly = plan.ly
-    ch = plan.ch
-
-    def flat(a):
-        return jnp.asarray(a.reshape(-1))
-
-    # ---- luma MC ----
-    p0 = mc_cells_luma(ystack, flat(ly["r0"]), flat(ly["y0_0"]) + pad,
-                       flat(ly["x0_0"]) + pad, flat(ly["op0"]),
-                       flat(ly["vf0"]), flat(ly["hf0"]), flat(ly["fs0"]),
-                       4, bd)
-    avg = flat(plan.avg)
-    if plan.avg.any():
-        p1 = mc_cells_luma(ystack, flat(ly["r1"]), flat(ly["y0_1"]) + pad,
-                           flat(ly["x0_1"]) + pad, flat(ly["op1"]),
-                           flat(ly["vf1"]), flat(ly["hf1"]),
-                           flat(ly["fs1"]), 4, bd)
-        p0 = jnp.where(avg[:, None, None] == 1, (p0 + p1) >> 1, p0)
-    pred_y = p0.reshape(gh, gw, 4, 4).transpose(0, 2, 1, 3).reshape(H, W)
-
-    # ---- chroma MC (4:2:0) ----
-    pu0 = mc_cells_chroma(ustack, flat(ly["r0"]), flat(ch["y0_0"]) + pad_c,
-                          flat(ch["x0_0"]) + pad_c, flat(ch["op0"]),
-                          flat(ch["vf0"]), flat(ch["hf0"]), 2, bd)
-    pv0 = mc_cells_chroma(vstack, flat(ly["r0"]), flat(ch["y0_0"]) + pad_c,
-                          flat(ch["x0_0"]) + pad_c, flat(ch["op0"]),
-                          flat(ch["vf0"]), flat(ch["hf0"]), 2, bd)
-    if plan.avg.any():
-        pu1 = mc_cells_chroma(ustack, flat(ly["r1"]),
-                              flat(ch["y0_1"]) + pad_c,
-                              flat(ch["x0_1"]) + pad_c, flat(ch["op1"]),
-                              flat(ch["vf1"]), flat(ch["hf1"]), 2, bd)
-        pv1 = mc_cells_chroma(vstack, flat(ly["r1"]),
-                              flat(ch["y0_1"]) + pad_c,
-                              flat(ch["x0_1"]) + pad_c, flat(ch["op1"]),
-                              flat(ch["vf1"]), flat(ch["hf1"]), 2, bd)
-        pu0 = jnp.where(avg[:, None, None] == 1, (pu0 + pu1) >> 1, pu0)
-        pv0 = jnp.where(avg[:, None, None] == 1, (pv0 + pv1) >> 1, pv0)
-    H2, W2 = H // 2, W // 2
-    pred_u = pu0.reshape(gh, gw, 2, 2).transpose(0, 2, 1, 3).reshape(H2, W2)
-    pred_v = pv0.reshape(gh, gw, 2, 2).transpose(0, 2, 1, 3).reshape(H2, W2)
-
-    # ---- residuals (per plane / tb-size batches, padded planes) ----
-    def plane_residual(kind, ph, pw):
-        res = jnp.zeros((ph + 128 + _PAD, pw + 128 + _PAD), jnp.int32)
-        for size, entries in sorted(plan.tbs[kind].items()):
-            cy = np.array([e[0] for e in entries], np.int32)
-            cx = np.array([e[1] for e in entries], np.int32)
-            qp = np.array([e[2] for e in entries], np.int32)
-            qs = min(size, 16)
-            co = np.zeros((len(entries), qs, qs), np.int32)
-            for i, e in enumerate(entries):
-                c = e[3]
-                co[i, :c.shape[0], :c.shape[1]] = c
-            # pad batch to the next power of two to bound recompiles
-            n = len(entries)
-            nb = 1 << max(0, (n - 1).bit_length())
-            if nb != n:
-                cy = np.pad(cy, (0, nb - n))
-                cx = np.pad(cx, (0, nb - n), constant_values=pw + 64)
-                qp = np.pad(qp, (0, nb - n))
-                co = np.pad(co, ((0, nb - n), (0, 0), (0, 0)))
-            tiles = residual_batch(jnp.asarray(co), jnp.asarray(qp),
-                                   size, bd).astype(jnp.int32)
-            res = _scatter_tiles(res, tiles, jnp.asarray(cy),
-                                 jnp.asarray(cx), size)
-        return res[:ph, :pw]
-
-    res_y = plane_residual("y", H, W)
-    res_u = plane_residual("u", H2, W2)
-    res_v = plane_residual("v", H2, W2)
-
-    # ---- reconstruct (pred routed through int16 like the reference) ----
-    maxv = (1 << bd) - 1
-
-    def recon(pred, res):
-        p16 = ((pred << 16) >> 16)
-        return jnp.clip(p16 + res, 0, maxv)
-
-    rec_y = np.asarray(recon(pred_y, res_y))
-    rec_u = np.asarray(recon(pred_u, res_u))
-    rec_v = np.asarray(recon(pred_v, res_v))
+    lg = {k: jnp.asarray(v.reshape(-1)) for k, v in plan.ly.items()}
+    cg = {k: jnp.asarray(v.reshape(-1)) for k, v in plan.ch.items()}
+    packed = frame_exec(
+        ystack, ustack, vstack, lg, cg, jnp.asarray(plan.avg.reshape(-1)),
+        jnp.asarray(plan.coef["y"]), jnp.asarray(plan.qp4["y"]),
+        jnp.asarray(plan.ls4["y"]), jnp.asarray(plan.coef["u"]),
+        jnp.asarray(plan.coef["v"]), jnp.asarray(plan.qp4["c"]),
+        jnp.asarray(plan.ls4["c"]), H=H, W=W, bd=bd, pad=pad,
+        pad_c=pad_c, has_avg=bool(plan.avg.any()))
+    packed = np.asarray(packed)
+    rec_y = packed[:H]
+    rec_u = packed[H:, :W // 2]
+    rec_v = packed[H:, W // 2:]
 
     # ---- merge into host rec (inter cells only) ----
     m4 = plan.inter.astype(bool)
@@ -495,5 +529,5 @@ def execute(dec, plan: FramePlan, ref_slots, ref_frames):
     mc2 = np.repeat(np.repeat(m4, 2, 0), 2, 1)
     rec = dec.rec
     rec.y[my] = rec_y[my].astype(rec.dtype)
-    rec.u[mc2] = rec_u[mc2].astype(rec.dtype)
-    rec.v[mc2] = rec_v[mc2].astype(rec.dtype)
+    rec.u[mc2] = rec_u[:H2][mc2].astype(rec.dtype)
+    rec.v[mc2] = rec_v[:H2][mc2].astype(rec.dtype)
