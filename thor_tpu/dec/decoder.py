@@ -1306,86 +1306,89 @@ class Decoder:
         h = self.h
         bd = h.bitdepth
         qpc = int(CHROMA_QP[qp]) if h.subsample != 444 else qp
-        y = jnp.asarray(self.rec.y.astype(np.int32))
-        if not self.mono:
-            u = jnp.asarray(self.rec.u.astype(np.int32))
-            v = jnp.asarray(self.rec.v.astype(np.int32))
+        H, W = self.height, self.width
+        Hc, Wc = H >> self.sub, W >> self.sub
 
+        # ---- host side: stream reads + block-metadata masks, in the
+        # exact reference order (deblock masks, CDEF presets, CLPF bits)
         if h.deblocking:
-            mv_, mh_ = OF.deblock_masks_y(self.dd, self.width, self.height)
-            y = OF.deblock_plane_y(y, jnp.asarray(mv_), jnp.asarray(mh_),
-                                   qp, bd)
+            mv_, mh_ = OF.deblock_masks_y(self.dd, W, H)
             if not self.mono:
-                cmv, cmh = OF.deblock_masks_uv(self.dd, self.width,
-                                               self.height)
-                cmv, cmh = jnp.asarray(cmv), jnp.asarray(cmh)
-                u = OF.deblock_plane_uv(u, cmv, cmh, qpc, self.sub, bd)
-                v = OF.deblock_plane_uv(v, cmv, cmh, qpc, self.sub, bd)
+                cmv, cmh = OF.deblock_masks_uv(self.dd, W, H)
+        else:
+            mv_ = mh_ = np.zeros((1, 1), bool)
+            cmv = cmh = np.zeros((1, 1), bool)
+        if self.mono:
+            cmv = cmh = np.zeros((1, 1), bool)
 
-        # ---- CDEF (preset bits read per non-allskip fb, raster order) ----
         presets_y, presets_uv = self._read_cdef_presets(s)
         cs = bd - 8
-        dirs, var = OF.cdef_dirs(y, cs)
-        lv0, sec0, m0 = OF.cdef_block_maps(self.dd, presets_y, self.width,
-                                           self.height, 0, self.sub)
-        y = OF.cdef_plane(y, dirs, var, jnp.asarray(lv0), jnp.asarray(sec0),
-                          jnp.asarray(m0), 8, 0, self.cdef_damping,
-                          self.cdef_damping, cs)
+        lv0, sec0, m0 = OF.cdef_block_maps(self.dd, presets_y, W, H, 0,
+                                           self.sub)
         if not self.mono:
-            lv1, sec1, m1 = OF.cdef_block_maps(self.dd, presets_uv,
-                                               self.width, self.height, 1,
-                                               self.sub)
-            _, _, m2 = OF.cdef_block_maps(self.dd, presets_uv, self.width,
-                                          self.height, 2, self.sub)
-            bsc = 4 if self.sub else 8
-            lv1, sec1 = jnp.asarray(lv1), jnp.asarray(sec1)
-            u = OF.cdef_plane(u, dirs, var, lv1, sec1, jnp.asarray(m1),
-                              bsc, 1, self.cdef_damping - 1,
-                              self.cdef_damping - 1, cs)
-            v = OF.cdef_plane(v, dirs, var, lv1, sec1, jnp.asarray(m2),
-                              bsc, 2, self.cdef_damping - 1,
-                              self.cdef_damping - 1, cs)
+            lv1, sec1, m1 = OF.cdef_block_maps(self.dd, presets_uv, W, H,
+                                               1, self.sub)
+            _, _, m2 = OF.cdef_block_maps(self.dd, presets_uv, W, H, 2,
+                                          self.sub)
+        else:
+            lv1 = sec1 = np.zeros((1, 1), np.int32)
+            m1 = m2 = np.zeros((1, 1), bool)
 
-        # ---- CLPF ----
+        s_y = s_u = s_v = 0
+        clpf_my = np.zeros((1, 1), bool)
+        clpf_mu = clpf_mv_ = np.zeros((1, 1), bool)
         if h.clpf:
-            strength_y = s.get_flc(2)
-            strength_u = s.get_flc(2)
-            strength_v = s.get_flc(2)
-            if strength_y:
+            s_y = s.get_flc(2)
+            s_u = s.get_flc(2)
+            s_v = s.get_flc(2)
+            if s_y:
                 fb_size_log2 = s.get_flc(2) + 4
                 enable_fb = fb_size_log2 != 4
                 if fb_size_log2 == 4:
                     fb_size_log2 = 7
                 if enable_fb:
                     nbits = filters.count_clpf_decisions(
-                        self.dd, self.width, self.height, 0, fb_size_log2,
-                        self.sub)
+                        self.dd, W, H, 0, fb_size_log2, self.sub)
                     bits = [s.get_flc(1) for _ in range(nbits)]
                 else:
                     bits = None
-                mask, _ = OF.clpf_pixel_mask(self.dd, self.width,
-                                             self.height, 0, fb_size_log2,
-                                             self.sub, decision_bits=bits)
-                y = OF.clpf_plane(y, jnp.asarray(mask),
-                                  (strength_y + (strength_y == 3)) << cs,
-                                  bd - 4 + (qp >> 4))
-            if strength_u and not self.mono:
-                mask, _ = OF.clpf_pixel_mask(self.dd, self.width,
-                                             self.height, 1, 4, self.sub)
-                u = OF.clpf_plane(u, jnp.asarray(mask),
-                                  (strength_u + (strength_u == 3)) << cs,
-                                  bd - 5 + (qp >> 4))
-            if strength_v and not self.mono:
-                mask, _ = OF.clpf_pixel_mask(self.dd, self.width,
-                                             self.height, 2, 4, self.sub)
-                v = OF.clpf_plane(v, jnp.asarray(mask),
-                                  (strength_v + (strength_v == 3)) << cs,
-                                  bd - 5 + (qp >> 4))
+                clpf_my, _ = OF.clpf_pixel_mask(self.dd, W, H, 0,
+                                                fb_size_log2, self.sub,
+                                                decision_bits=bits)
+            if s_u and not self.mono:
+                clpf_mu, _ = OF.clpf_pixel_mask(self.dd, W, H, 1, 4,
+                                                self.sub)
+            if s_v and not self.mono:
+                clpf_mv_, _ = OF.clpf_pixel_mask(self.dd, W, H, 2, 4,
+                                                 self.sub)
 
-        self.rec.y[:] = np.asarray(y).astype(self.rec.y.dtype)
+        # ---- device side: one dispatch, one packed pull ----
+        if self.mono:
+            u = v = jnp.zeros((1, 1), jnp.int16)
+        else:
+            u = jnp.asarray(self.rec.u.astype(np.int16))
+            v = jnp.asarray(self.rec.v.astype(np.int16))
+        packed = OF.filters_exec(
+            jnp.asarray(self.rec.y.astype(np.int16)), u, v,
+            jnp.asarray(mv_), jnp.asarray(mh_), jnp.asarray(cmv),
+            jnp.asarray(cmh), jnp.asarray(lv0), jnp.asarray(sec0),
+            jnp.asarray(m0), jnp.asarray(lv1), jnp.asarray(sec1),
+            jnp.asarray(m1), jnp.asarray(m2), jnp.asarray(clpf_my),
+            jnp.asarray(clpf_mu), jnp.asarray(clpf_mv_), qp=qp, qpc=qpc,
+            bd=bd, sub=self.sub, mono=self.mono, deblocking=h.deblocking,
+            cdef_damping=self.cdef_damping, cs=cs, s_y=s_y, s_u=s_u,
+            s_v=s_v, qpclpf=qp >> 4)
+        packed = np.asarray(packed)
+        self.rec.y[:] = packed[:H].astype(self.rec.y.dtype)
         if not self.mono:
-            self.rec.u[:] = np.asarray(u).astype(self.rec.u.dtype)
-            self.rec.v[:] = np.asarray(v).astype(self.rec.v.dtype)
+            if self.sub:
+                self.rec.u[:] = packed[H:H + Hc, :Wc].astype(
+                    self.rec.u.dtype)
+                self.rec.v[:] = packed[H:H + Hc, Wc:].astype(
+                    self.rec.v.dtype)
+            else:
+                self.rec.u[:] = packed[H:2 * H].astype(self.rec.u.dtype)
+                self.rec.v[:] = packed[2 * H:].astype(self.rec.v.dtype)
 
     def _read_cdef_presets(self, s: BitReader):
         """Read per-fb CDEF preset indices; returns (presets_y, presets_uv)

@@ -535,3 +535,61 @@ def cdef_block_maps(dd, presets_per_fb, width_l, height_l, plane, sub):
                         mask[ypos:ypos + sizey, xpos:xpos + sizex] = True
             ci += 1
     return level, sec, mask
+
+
+# ------------------------------------------------------- fused frame pass
+
+@partial(jax.jit, static_argnames=("qp", "qpc", "bd", "sub", "mono",
+                                   "deblocking", "cdef_damping", "cs",
+                                   "s_y", "s_u", "s_v", "qpclpf"))
+def filters_exec(y, u, v, mv_, mh_, cmv, cmh, lv0, sec0, m0, lv1, sec1,
+                 m1, m2, clpf_my, clpf_mu, clpf_mv, qp: int, qpc: int,
+                 bd: int, sub: int, mono: bool, deblocking: bool,
+                 cdef_damping: int, cs: int, s_y: int, s_u: int, s_v: int,
+                 qpclpf: int):
+    """Whole in-loop chain (deblock -> CDEF -> CLPF) in ONE dispatch.
+
+    All block-metadata masks and the stream-read parameters are host
+    inputs; returns one packed int16 buffer [H + Hc, W] (luma on top,
+    u|v side by side) so the frame costs a single device->host pull."""
+    H, W = y.shape
+    y = y.astype(jnp.int32)
+    if not mono:
+        u = u.astype(jnp.int32)
+        v = v.astype(jnp.int32)
+
+    if deblocking:
+        y = deblock_plane_y(y, mv_, mh_, qp, bd)
+        if not mono:
+            u = deblock_plane_uv(u, cmv, cmh, qpc, sub, bd)
+            v = deblock_plane_uv(v, cmv, cmh, qpc, sub, bd)
+
+    dirs, var = cdef_dirs(y, cs)
+    y = cdef_plane(y, dirs, var, lv0, sec0, m0, 8, 0, cdef_damping,
+                   cdef_damping, cs)
+    if not mono:
+        bsc = 4 if sub else 8
+        u = cdef_plane(u, dirs, var, lv1, sec1, m1, bsc, 1,
+                       cdef_damping - 1, cdef_damping - 1, cs)
+        v = cdef_plane(v, dirs, var, lv1, sec1, m2, bsc, 2,
+                       cdef_damping - 1, cdef_damping - 1, cs)
+
+    if s_y:
+        y = clpf_plane(y, clpf_my, (s_y + (s_y == 3)) << cs,
+                       bd - 4 + qpclpf)
+    if not mono:
+        if s_u:
+            u = clpf_plane(u, clpf_mu, (s_u + (s_u == 3)) << cs,
+                           bd - 5 + qpclpf)
+        if s_v:
+            v = clpf_plane(v, clpf_mv, (s_v + (s_v == 3)) << cs,
+                           bd - 5 + qpclpf)
+
+    if mono:
+        return y.astype(jnp.int16)
+    # pack into one [H + Hc', W] buffer: u|v side by side (4:2:0) or
+    # stacked (4:4:4) so one pull returns the whole frame
+    uv = (jnp.concatenate([u, v], axis=1) if sub
+          else jnp.concatenate([u, v], axis=0))
+    return jnp.concatenate([y.astype(jnp.int16),
+                            uv.astype(jnp.int16)], axis=0)
