@@ -1,0 +1,73 @@
+"""Turbo encoder mode: compliance and self-consistency.
+
+Turbo streams are not byte-identical with the sequential RDO encoder
+(decisions are batched approximations), but they MUST be fully
+compliant: our decoder reproduces the encoder's recon byte-exactly,
+and (checked in tools/check.py when the oracle is present) Thordec
+does too.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from thor_tpu.enc.params import EncParams
+from thor_tpu.enc import encoder as E
+from thor_tpu.dec import decode_stream
+
+LC_KW = dict(qp=32, lambda_coeffI=0.8, lambda_coeffP=1.2,
+             early_skip_thr=1.0, max_num_ref=2, HQperiod=12, mqpP=1.2,
+             dqpI=-2, encoder_speed=2, cdef=0, clpf=1,
+             use_block_contexts=1)
+
+
+def _clip(W, H, N, seed):
+    rng = np.random.default_rng(seed)
+    base = np.clip(np.linspace(30, 200, W)[None, :] +
+                   np.linspace(0, 50, H)[:, None] +
+                   rng.integers(-10, 10, (H, W)), 0, 255).astype(np.uint8)
+    out = []
+    for i in range(N):
+        f = np.roll(base, i * 3, axis=1)
+        if i:
+            f = np.clip(f.astype(np.int16) +
+                        rng.integers(-2, 3, (H, W)), 0, 255
+                        ).astype(np.uint8)
+        u = np.clip(128 + rng.integers(-8, 8, (H // 2, W // 2)), 0,
+                    255).astype(np.uint8)
+        v = np.clip(128 + rng.integers(-8, 8, (H // 2, W // 2)), 0,
+                    255).astype(np.uint8)
+        out.append(f.tobytes() + u.tobytes() + v.tobytes())
+    return b"".join(out)
+
+
+def _turbo_encode(W, H, N, seed, monkeypatch, **kw):
+    monkeypatch.setenv("THOR_TURBO", "1")
+    yuv = _clip(W, H, N, seed)
+    args = dict(LC_KW)
+    args.update(kw)
+    bs, rec = E.encode_sequence(
+        EncParams(width=W, height=H, num_frames=N, **args), yuv)
+    return yuv, bs, rec
+
+
+def _psnr(a, b):
+    a = np.frombuffer(a, np.uint8).astype(np.float64)
+    b = np.frombuffer(b, np.uint8).astype(np.float64)
+    return 10 * np.log10(255 * 255 / ((a - b) ** 2).mean())
+
+
+@pytest.mark.slow
+def test_turbo_roundtrip_128(monkeypatch):
+    yuv, bs, rec = _turbo_encode(128, 128, 3, 3, monkeypatch)
+    _, frames = decode_stream(bs)
+    assert b"".join(frames) == rec
+    assert _psnr(yuv, rec) > 26.0
+
+
+@pytest.mark.slow
+def test_turbo_roundtrip_rect_edge(monkeypatch):
+    # 192x96: SB overhang on both axes exercises the forced-split walk
+    yuv, bs, rec = _turbo_encode(192, 96, 3, 7, monkeypatch)
+    _, frames = decode_stream(bs)
+    assert b"".join(frames) == rec

@@ -133,6 +133,11 @@ class Encoder:
         self.fi = FrameInfoEnc()
         self.writer = BitWriter()
         self.rec: YuvFrame | None = None
+        # Turbo throughput mode: batched device decisions + exact
+        # emission (enc/turbo.py).  Opt-in (bitstreams are compliant but
+        # not byte-identical with the sequential RDO).
+        import os as _os
+        self.turbo = _os.environ.get("THOR_TURBO", "0") == "1"
         self.cdef_damping = 5
         self.cdef_bits = 0
         self.cdef_strengths = [127] * 8
@@ -1342,6 +1347,11 @@ class Encoder:
             from . import device_lc
             if device_lc.lc_supported(self):
                 device_lc.encode_frame_device(self)
+                return self._encode_frame_tail(qp)
+        if getattr(self, "turbo", False):
+            from . import turbo
+            if turbo.turbo_supported(self):
+                turbo.encode_frame_turbo(self)
                 return self._encode_frame_tail(qp)
         for k in range(nsv):
             for l in range(nsh):
