@@ -1226,7 +1226,8 @@ class Decoder:
 
         if self._plan is not None:
             from . import device_pixels as DP
-            DP.execute(self, self._plan, self._plan_slots, self._plan_refs)
+            ex = getattr(self, "plan_executor", None) or DP.execute
+            ex(self, self._plan, self._plan_slots, self._plan_refs)
             self._replay_intra()
             self._plan = None
             self._plan_slots = None
@@ -1437,13 +1438,17 @@ class Decoder:
                  self.stat_frame_type, self.fi.display_frame_num, gop_size)
 
 
-def decode_stream(data: bytes, progress=None):
+def decode_stream(data: bytes, progress=None, decoder_hook=None):
     """Decode a full Thor stream; returns (header, list of frames in
-    display order as bytes)."""
+    display order as bytes).  decoder_hook(dec) runs once after the
+    Decoder is constructed (multi-stream drivers attach their sharded
+    plan executor there, dec/multistream.py)."""
     fur = FrameUnitReader(data)
     s = fur.next_frame()
     header = SequenceHeader.read(s)
     dec = Decoder(header)
+    if decoder_hook is not None:
+        decoder_hook(dec)
     dec.bc.sequence_header = s.bitcnt  # maindec.c:129-139
     outputs = {}
     n = 0

@@ -493,37 +493,34 @@ def frame_exec(ystack, ustack, vstack, lg, cg, avg, coef_y, qp4_y, ls4_y,
     return jnp.concatenate([rec_y, rec_uv], axis=0)
 
 
-def execute(dec, plan: FramePlan, ref_slots, ref_frames):
-    """Run the planned frame on device; fills dec.rec's inter cells."""
-    h = dec.h
-    W, H = dec.width, dec.height
-    bd = h.bitdepth
+def build_exec_inputs(dec, plan: FramePlan, ref_frames):
+    """(host arrays, static kwargs) for frame_exec - shared by the
+    single-chip path and the mesh-sharded multi-stream path."""
+    arrs = {
+        "ystack": np.stack([r.y_full for r in ref_frames]).astype(np.int16),
+        "ustack": np.stack([r.u_full for r in ref_frames]).astype(np.int16),
+        "vstack": np.stack([r.v_full for r in ref_frames]).astype(np.int16),
+        "lg": {k: v.reshape(-1) for k, v in plan.ly.items()},
+        "cg": {k: v.reshape(-1) for k, v in plan.ch.items()},
+        "avg": plan.avg.reshape(-1),
+        "coef_y": plan.coef["y"], "qp4_y": plan.qp4["y"],
+        "ls4_y": plan.ls4["y"], "coef_u": plan.coef["u"],
+        "coef_v": plan.coef["v"], "qp4_c": plan.qp4["c"],
+        "ls4_c": plan.ls4["c"],
+    }
+    static = dict(H=dec.height, W=dec.width, bd=dec.h.bitdepth,
+                  pad=ref_frames[0].pad, pad_c=ref_frames[0].pad_c,
+                  has_avg=bool(plan.avg.any()))
+    return arrs, static
+
+
+def merge_exec_output(dec, plan: FramePlan, packed: np.ndarray):
+    """Merge a pulled frame_exec buffer into dec.rec (inter cells)."""
+    H, W = dec.height, dec.width
     H2 = H // 2
-
-    ystack = jnp.asarray(np.stack([r.y_full for r in ref_frames])
-                         .astype(np.int16))
-    ustack = jnp.asarray(np.stack([r.u_full for r in ref_frames])
-                         .astype(np.int16))
-    vstack = jnp.asarray(np.stack([r.v_full for r in ref_frames])
-                         .astype(np.int16))
-    pad = ref_frames[0].pad
-    pad_c = ref_frames[0].pad_c
-
-    lg = {k: jnp.asarray(v.reshape(-1)) for k, v in plan.ly.items()}
-    cg = {k: jnp.asarray(v.reshape(-1)) for k, v in plan.ch.items()}
-    packed = frame_exec(
-        ystack, ustack, vstack, lg, cg, jnp.asarray(plan.avg.reshape(-1)),
-        jnp.asarray(plan.coef["y"]), jnp.asarray(plan.qp4["y"]),
-        jnp.asarray(plan.ls4["y"]), jnp.asarray(plan.coef["u"]),
-        jnp.asarray(plan.coef["v"]), jnp.asarray(plan.qp4["c"]),
-        jnp.asarray(plan.ls4["c"]), H=H, W=W, bd=bd, pad=pad,
-        pad_c=pad_c, has_avg=bool(plan.avg.any()))
-    packed = np.asarray(packed)
     rec_y = packed[:H]
     rec_u = packed[H:, :W // 2]
     rec_v = packed[H:, W // 2:]
-
-    # ---- merge into host rec (inter cells only) ----
     m4 = plan.inter.astype(bool)
     my = np.repeat(np.repeat(m4, 4, 0), 4, 1)
     mc2 = np.repeat(np.repeat(m4, 2, 0), 2, 1)
@@ -531,3 +528,15 @@ def execute(dec, plan: FramePlan, ref_slots, ref_frames):
     rec.y[my] = rec_y[my].astype(rec.dtype)
     rec.u[mc2] = rec_u[:H2][mc2].astype(rec.dtype)
     rec.v[mc2] = rec_v[:H2][mc2].astype(rec.dtype)
+
+
+def execute(dec, plan: FramePlan, ref_slots, ref_frames):
+    """Run the planned frame on device; fills dec.rec's inter cells."""
+    arrs, static = build_exec_inputs(dec, plan, ref_frames)
+    jarr = jax.tree_util.tree_map(jnp.asarray, arrs)
+    packed = frame_exec(jarr["ystack"], jarr["ustack"], jarr["vstack"],
+                        jarr["lg"], jarr["cg"], jarr["avg"],
+                        jarr["coef_y"], jarr["qp4_y"], jarr["ls4_y"],
+                        jarr["coef_u"], jarr["coef_v"], jarr["qp4_c"],
+                        jarr["ls4_c"], **static)
+    merge_exec_output(dec, plan, np.asarray(packed))
