@@ -33,7 +33,9 @@ def run_cli(args, cwd=REPO):
                           capture_output=True, text=True, env=env, cwd=cwd)
 
 
-@pytest.mark.parametrize("name", ["tiny64_ldblc", "hdb9_128", "ra9_256",
+@pytest.mark.parametrize("name", ["tiny64_ldblc",
+                                  pytest.param("hdb9_128", marks=pytest.mark.slow),
+                                  pytest.param("ra9_256", marks=pytest.mark.slow),
                                   "ir2_128", "c444_128"])
 def test_dec_stdout_parity(name, tmp_path):
     golden = open(os.path.join(GOLDEN, "stdout", name + "_dec.txt")).read()
@@ -58,6 +60,7 @@ def test_enc_stdout_parity(tmp_path):
     assert len(stat.splitlines()) == 2
 
 
+@pytest.mark.slow
 def test_y4m_roundtrip(tmp_path):
     """y4m probe overrides geometry; enc/dec y4m outputs carry correct
     YUV4MPEG2 headers and identical payloads to the raw-yuv path."""

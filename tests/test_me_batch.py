@@ -11,7 +11,11 @@ class _P:
     encoder_speed = 1
 
 
-@pytest.mark.parametrize("size,sign", [(16, 0), (16, 1), (8, 0), (32, 0)])
+@pytest.mark.parametrize("size,sign", [
+    (16, 0),
+    pytest.param(16, 1, marks=pytest.mark.slow),
+    pytest.param(8, 0, marks=pytest.mark.slow),
+    (32, 0)])
 def test_motion_estimate_batch(size, sign):
     rng = np.random.default_rng(7 + size + sign)
     W, H, pad = 128, 96, 160

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 
-@pytest.mark.parametrize("bd,qp", [(8, 32), (10, 35)])
+@pytest.mark.parametrize("bd,qp", [(8, 32), pytest.param(10, 35, marks=pytest.mark.slow)])
 def test_decode_p_frame_420_vs_spec_chain(bd, qp):
     from thor_tpu.models.pipeline import decode_p_frame_420, make_example_full
     from thor_tpu.spec import filters as SF

@@ -45,6 +45,7 @@ def test_tempinterp_small(ratio, pos):
     np.testing.assert_array_equal(outd.v_full, outs.v_full)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("w,h,bd,seed", [(160, 128, 8, 1), (128, 96, 10, 2)])
 def test_tempinterp_multilevel(w, h, bd, seed):
     f0, f1 = _mk(w, h, seed=seed, bitdepth=bd)

@@ -1093,30 +1093,33 @@ class Decoder:
         temp_case = (self.stat_frame_type == B_FRAME and h.interp_ref == 2 and
                      bp["mode"] == MODE_SKIP and bp["skip_idx"] == 0)
         phase = self.fi.phase
-        for m in range(bheight // MIN_PB_SIZE):
-            for n in range(bwidth // MIN_PB_SIZE):
-                bi = (posy + m) * dd.bs + posx + n
-                m0 = m // div if div > 0 else 0
-                n0 = n // div if div > 0 else 0
-                index = 2 * m0 + n0
-                dd.cbp_y[bi], dd.cbp_u[bi], dd.cbp_v[bi] = bp["cbp"]
-                dd.tb_split[bi] = tb_split
-                dd.pb_part[bi] = pb_part
-                dd.size[bi] = size
-                dd.mode[bi] = bp["mode"]
-                if temp_case:
-                    mv = dd.arr_mv0[bi, phase]
-                    dd.mv0[bi] = mv
-                    mv1 = mv.copy()
-                    if h.num_reorder_pics == 2 and phase == 1:
-                        mv1 *= 2
-                    dd.mv1[bi] = mv1
-                else:
-                    dd.mv0[bi] = bp["mv_arr0"][index]
-                    dd.mv1[bi] = bp["mv_arr1"][index]
-                dd.ref_idx0[bi] = bp["ref_idx0"]
-                dd.ref_idx1[bi] = bp["ref_idx1"]
-                dd.bipred_flag[bi] = bp["dir"]
+        nh, nw = bheight // MIN_PB_SIZE, bwidth // MIN_PB_SIZE
+        bi = ((posy + np.arange(nh))[:, None] * dd.bs +
+              posx + np.arange(nw)[None, :]).reshape(-1)
+        dd.cbp_y[bi], dd.cbp_u[bi], dd.cbp_v[bi] = bp["cbp"]
+        dd.tb_split[bi] = tb_split
+        dd.pb_part[bi] = pb_part
+        dd.size[bi] = size
+        dd.mode[bi] = bp["mode"]
+        if temp_case:
+            mv = dd.arr_mv0[bi, phase]
+            dd.mv0[bi] = mv
+            if h.num_reorder_pics == 2 and phase == 1:
+                dd.mv1[bi] = mv * 2
+            else:
+                dd.mv1[bi] = mv
+        else:
+            if div > 0:
+                idx = (2 * (np.arange(nh) // div).clip(0, 1)[:, None] +
+                       (np.arange(nw) // div).clip(0, 1)[None, :]
+                       ).reshape(-1)
+            else:
+                idx = np.zeros(nh * nw, np.int64)
+            dd.mv0[bi] = np.asarray(bp["mv_arr0"])[idx]
+            dd.mv1[bi] = np.asarray(bp["mv_arr1"])[idx]
+        dd.ref_idx0[bi] = bp["ref_idx0"]
+        dd.ref_idx1[bi] = bp["ref_idx1"]
+        dd.bipred_flag[bi] = bp["dir"]
 
     # ----- recursion & frame -----
     def process_block(self, s: BitReader, size, ypos, xpos):

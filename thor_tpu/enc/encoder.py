@@ -1273,35 +1273,38 @@ class Encoder:
         div = size // (2 * MIN_PB_SIZE)
         tb_split = int(max(0, bp.get("tb_param", 0)) > 0)
         pb_part = bp["pb_part"] if bp["mode"] == MODE_INTER else 0
-        for m in range(bi.bheight // MIN_PB_SIZE):
-            for n in range(bi.bwidth // MIN_PB_SIZE):
-                k = (posy + m) * dd.bs + posx + n
-                m0 = m // div if div > 0 else 0
-                n0 = n // div if div > 0 else 0
-                index = 2 * m0 + n0
-                cy, cu, cv = bp["cbp"]
-                dd.cbp_y[k], dd.cbp_u[k], dd.cbp_v[k] = cy, cu, cv
-                dd.tb_split[k] = tb_split
-                dd.pb_part[k] = pb_part
-                dd.size[k] = size
-                dd.mode[k] = bp["mode"]
-                if (self.fi.frame_type == B_FRAME and
-                        self.params.interp_ref == 2 and
-                        bp["mode"] == MODE_SKIP and
-                        bp.get("skip_idx", 0) == 0):
-                    phase = self.fi.phase
-                    mv = dd.arr_mv0[k, phase].copy()
-                    dd.mv0[k] = mv
-                    mv1 = mv.copy()
-                    if self.params.num_reorder_pics == 2 and phase == 1:
-                        mv1 *= 2
-                    dd.mv1[k] = mv1
-                else:
-                    dd.mv0[k] = bp["mv_arr0"][index]
-                    dd.mv1[k] = bp["mv_arr1"][index]
-                dd.ref_idx0[k] = bp["ref_idx0"]
-                dd.ref_idx1[k] = bp["ref_idx1"]
-                dd.bipred_flag[k] = bp["dir"]
+        nh = bi.bheight // MIN_PB_SIZE
+        nw = bi.bwidth // MIN_PB_SIZE
+        k = ((posy + np.arange(nh))[:, None] * dd.bs +
+             posx + np.arange(nw)[None, :]).reshape(-1)
+        dd.cbp_y[k], dd.cbp_u[k], dd.cbp_v[k] = bp["cbp"]
+        dd.tb_split[k] = tb_split
+        dd.pb_part[k] = pb_part
+        dd.size[k] = size
+        dd.mode[k] = bp["mode"]
+        if (self.fi.frame_type == B_FRAME and
+                self.params.interp_ref == 2 and
+                bp["mode"] == MODE_SKIP and
+                bp.get("skip_idx", 0) == 0):
+            phase = self.fi.phase
+            mv = dd.arr_mv0[k, phase]
+            dd.mv0[k] = mv
+            if self.params.num_reorder_pics == 2 and phase == 1:
+                dd.mv1[k] = mv * 2
+            else:
+                dd.mv1[k] = mv
+        else:
+            if div > 0:
+                idx = (2 * (np.arange(nh) // div).clip(0, 1)[:, None] +
+                       (np.arange(nw) // div).clip(0, 1)[None, :]
+                       ).reshape(-1)
+            else:
+                idx = np.zeros(nh * nw, np.int64)
+            dd.mv0[k] = np.asarray(bp["mv_arr0"])[idx]
+            dd.mv1[k] = np.asarray(bp["mv_arr1"])[idx]
+        dd.ref_idx0[k] = bp["ref_idx0"]
+        dd.ref_idx1[k] = bp["ref_idx1"]
+        dd.bipred_flag[k] = bp["dir"]
 
     # ---------- frame level ----------
 
@@ -1404,13 +1407,17 @@ class Encoder:
                      fi.frame_type, fi.frame_num, p.num_reorder_pics + 1)
 
         if p.deblocking:
-            filters.deblock_frame_y(self.rec.y, self.dd, self.width,
-                                    self.height, qp, p.bitdepth)
-            if not self.mono:
-                qpc = int(CHROMA_QP[qp]) if p.subsample != 444 else qp
-                filters.deblock_frame_uv(self.rec.u, self.rec.v, self.dd,
-                                         self.width, self.height, qpc,
-                                         self.sub, p.bitdepth)
+            qpc = int(CHROMA_QP[qp]) if p.subsample != 444 else qp
+            if FR._device_ok():
+                self._deblock_device(qp, qpc)
+            else:
+                filters.deblock_frame_y(self.rec.y, self.dd, self.width,
+                                        self.height, qp, p.bitdepth)
+                if not self.mono:
+                    filters.deblock_frame_uv(self.rec.u, self.rec.v,
+                                             self.dd, self.width,
+                                             self.height, qpc, self.sub,
+                                             p.bitdepth)
 
         if p.cdef:
             cdef_bits = FR.cdef_search(self, self.rec, self.orig, self.dd)
@@ -1458,6 +1465,40 @@ class Encoder:
         self.ref[0] = tmp
         self.ref[0].copy_from(self.rec)
 
+    def _deblock_device(self, qp, qpc):
+        """Encoder-side deblock on device (same kernels as the decoder's
+        fused chain; one dispatch, one packed pull)."""
+        import jax.numpy as jnp
+        from ..ops import filters as OF
+        H, W = self.height, self.width
+        Hc, Wc = H >> self.sub, W >> self.sub
+        mv_, mh_ = OF.deblock_masks_y(self.dd, W, H)
+        if not self.mono:
+            cmv, cmh = OF.deblock_masks_uv(self.dd, W, H)
+        else:
+            cmv = cmh = np.zeros((1, 1), bool)
+        if self.mono:
+            u = v = jnp.zeros((1, 1), jnp.int16)
+        else:
+            u = jnp.asarray(self.rec.u.astype(np.int16))
+            v = jnp.asarray(self.rec.v.astype(np.int16))
+        packed = OF.deblock_exec(
+            jnp.asarray(self.rec.y.astype(np.int16)), u, v,
+            jnp.asarray(mv_), jnp.asarray(mh_), jnp.asarray(cmv),
+            jnp.asarray(cmh), qp=qp, qpc=qpc, bd=self.params.bitdepth,
+            sub=self.sub, mono=self.mono)
+        packed = np.asarray(packed)
+        self.rec.y[:] = packed[:H].astype(self.rec.y.dtype)
+        if not self.mono:
+            if self.sub:
+                self.rec.u[:] = packed[H:H + Hc, :Wc].astype(
+                    self.rec.u.dtype)
+                self.rec.v[:] = packed[H:H + Hc, Wc:].astype(
+                    self.rec.v.dtype)
+            else:
+                self.rec.u[:] = packed[H:2 * H].astype(self.rec.u.dtype)
+                self.rec.v[:] = packed[2 * H:].astype(self.rec.v.dtype)
+
     def _clpf_apply(self, plane, strength, fb_size_log2, enable_fb, qp):
         """clpf_frame with the encoder decision fn writing bits."""
         p = self.params
@@ -1482,6 +1523,11 @@ class Encoder:
         bstr = width // MIN_PB_SIZE
         psub = self.sub if plane else 0
         strength_sh = strength << (p.bitdepth - 8)
+        tables = None
+        if plane == 0 and FR._device_ok():
+            dmp = (p.bitdepth - 8) + 4 + (qp >> 4)
+            tables = {0: FR._clpf_tables_plane_dev(rec.y, org.y,
+                                                   p.bitdepth - 8, dmp)}
         bits = []
         for k in range(nfv):
             for l in range(nfh):
@@ -1507,7 +1553,8 @@ class Encoder:
                 wde += (not wde) << fb_size_log2
                 bit = FR.clpf_decision(k, l, rec, org, self.dd, bs, wde // bs,
                                        h // bs, self.writer, strength_sh,
-                                       fb_size_log2, p.bitdepth - 8, bs, qp)
+                                       fb_size_log2, p.bitdepth - 8, bs, qp,
+                                       tables)
                 bits.append(bit)
         return bits
 

@@ -380,7 +380,7 @@ def detect_multi_clpf(rec_p, org_p, x0, y0, width, height, shift, size, dmp):
 
 
 def clpf_rdo(y, x, rec, org, dd, block_size, fb_size_log2, w, h, res,
-             bitdepth, plane, qp):
+             bitdepth, plane, qp, tables=None):
     """enc/encode_frame.c:523-586 (recursive)."""
     filtered = 0
     bslog = log2i(block_size)
@@ -398,19 +398,19 @@ def clpf_rdo(y, x, rec, org, dd, block_size, fb_size_log2, w, h, res,
         oldfiltered = res[i][0]
         res[i][0] = 0
         filtered = clpf_rdo(y, x, rec, org, dd, block_size, fb_size_log2,
-                            w1, h1, res, bitdepth, plane, qp)
+                            w1, h1, res, bitdepth, plane, qp, tables)
         if 1 << (fb_size_log2 - bslog) < w:
             filtered |= clpf_rdo(y, x + (1 << fb_size_log2), rec, org, dd,
                                  block_size, fb_size_log2, w2, h1, res,
-                                 bitdepth, plane, qp)
+                                 bitdepth, plane, qp, tables)
         if 1 << (fb_size_log2 - bslog) < h:
             filtered |= clpf_rdo(y + (1 << fb_size_log2), x, rec, org, dd,
                                  block_size, fb_size_log2, w1, h2, res,
-                                 bitdepth, plane, qp)
+                                 bitdepth, plane, qp, tables)
             filtered |= clpf_rdo(y + (1 << fb_size_log2),
                                  x + (1 << fb_size_log2), rec, org, dd,
                                  block_size, fb_size_log2, w2, h2, res,
-                                 bitdepth, plane, qp)
+                                 bitdepth, plane, qp, tables)
         res[i][1] = min(sum1 + res[i][0], res[i][1])
         res[i][2] = min(sum2 + res[i][0], res[i][2])
         res[i][3] = min(sum3 + res[i][0], res[i][3])
@@ -431,11 +431,15 @@ def clpf_rdo(y, x, rec, org, dd, block_size, fb_size_log2, w, h, res,
                                                      MIN_PB_SIZE) +
                    ((xpos << sub) // MIN_PB_SIZE))
             if dd.mode[idx] != 0:
-                s = detect_multi_clpf(rec_p, org_p, xpos, ypos, rec_width,
-                                      rec_height, bitdepth - 8, block_size,
-                                      damping)
+                if tables is not None:
+                    s = tables[plane][ypos // 8, xpos // 8]
+                else:
+                    s = detect_multi_clpf(rec_p, org_p, xpos, ypos,
+                                          rec_width, rec_height,
+                                          bitdepth - 8, block_size,
+                                          damping)
                 for i2 in range(4):
-                    sums[i2] += s[i2]
+                    sums[i2] += int(s[i2])
                 filtered = 1
     for i2 in range(4 if plane == 0 else 1):
         for j2 in range(4):
@@ -450,9 +454,16 @@ def clpf_test_frame(rec, org, dd, fi, bitdepth, plane, max_clpf_strength):
     height = rec.height >> rec.sub if plane else rec.height
     bs = 8
     fb_size_log2 = log2i(128)
+    tables = None
+    if _device_ok():
+        rec_p = rec.y if plane == 0 else (rec.u if plane == 1 else rec.v)
+        org_p = org.y if plane == 0 else (org.u if plane == 1 else org.v)
+        dmp = bitdepth - 4 - (plane != 0) + (fi.qp >> 4)
+        tables = {plane: _clpf_tables_plane_dev(rec_p, org_p,
+                                                bitdepth - 8, dmp)}
     if plane != 0:
         clpf_rdo(0, 0, rec, org, dd, bs, fb_size_log2, width // bs,
-                 height // bs, sums, bitdepth, plane, fi.qp)
+                 height // bs, sums, bitdepth, plane, fi.qp, tables)
     else:
         for k in range((height + (1 << fb_size_log2) - bs) >> fb_size_log2):
             for l in range((width + (1 << fb_size_log2) - bs) >>
@@ -465,7 +476,7 @@ def clpf_test_frame(rec, org, dd, fi, bitdepth, plane, max_clpf_strength):
                 ww += (not ww) << fb_size_log2
                 clpf_rdo(k << fb_size_log2, l << fb_size_log2, rec, org, dd,
                          bs, fb_size_log2, ww // bs, hh // bs, sums,
-                         bitdepth, plane, fi.qp)
+                         bitdepth, plane, fi.qp, tables)
     for j in range(4):
         cost = int(fi.lambda_ * sums[j][0] + 6)
         if plane != 0:
@@ -489,7 +500,7 @@ def clpf_test_frame(rec, org, dd, fi, bitdepth, plane, max_clpf_strength):
 
 
 def clpf_decision(k, l, rec, org, dd, block_size, w, h, writer, strength,
-                  fb_size_log2, shift, size, qp):
+                  fb_size_log2, shift, size, qp, tables=None):
     """enc/encode_frame.c:492-511 (per-fb luma decision, writes 1 bit)."""
     sum0 = sum1 = 0
     damping = shift + 4 + (qp >> 4)
@@ -500,9 +511,14 @@ def clpf_decision(k, l, rec, org, dd, block_size, w, h, writer, strength,
             idx = ((ypos // MIN_PB_SIZE) * (rec.width // MIN_PB_SIZE) +
                    (xpos // MIN_PB_SIZE))
             if dd.mode[idx] != 0:
-                s0, s1 = detect_clpf(rec.y, org.y, xpos, ypos, rec.width,
-                                     rec.height, strength, shift, size,
-                                     damping)
+                if tables is not None:
+                    col = {1: 1, 2: 2, 4: 3}[strength >> shift]
+                    t = tables[0][ypos // 8, xpos // 8]
+                    s0, s1 = int(t[0]), int(t[col])
+                else:
+                    s0, s1 = detect_clpf(rec.y, org.y, xpos, ypos,
+                                         rec.width, rec.height, strength,
+                                         shift, size, damping)
                 # the reference's detect_clpf_simd accumulates the scalar
                 # AND the vector sums (enc_kernels.c:257-262) - every call
                 # contributes twice; replicated for exactness
@@ -510,3 +526,69 @@ def clpf_decision(k, l, rec, org, dd, block_size, w, h, writer, strength,
                 sum1 += 2 * s1
     writer.put_flc(1, int(sum1 < sum0))
     return int(sum1 < sum0)
+
+
+# ------------------------------------------------ device CLPF RDO tables
+
+_dev_gate = None
+
+
+def _device_ok() -> bool:
+    global _dev_gate
+    if _dev_gate is None:
+        import os
+        if os.environ.get("THOR_DEVICE_FILTERS", "1") == "0":
+            _dev_gate = False
+        else:
+            try:
+                import jax
+                jax.devices()
+                _dev_gate = True
+            except Exception:  # noqa: BLE001
+                _dev_gate = False
+    return _dev_gate
+
+
+def _clpf_tables_plane_dev(rec_p, org_p, shift: int, dmp: int):
+    """One device call: per-8x8-block SSD vs org for CLPF strengths
+    {0, 1<<shift, 2<<shift, 4<<shift} at damping dmp.  The clpf_plane
+    kernel is bit-exact with detect_clpf's arithmetic (same edge
+    clamping), so the resulting integers equal the numpy path's."""
+    from functools import partial
+    import jax
+    import jax.numpy as jnp
+    from ..ops import filters as OF
+
+    @partial(jax.jit, static_argnames=("shift", "dmp"))
+    def run(r, o, shift: int, dmp: int):
+        r = r.astype(jnp.int32)
+        o = o.astype(jnp.int32)
+        H, W = r.shape
+        h8, w8 = H // 8, W // 8
+        Hc, Wc = h8 * 8, w8 * 8
+        ones = jnp.ones((H, W), bool)
+        outs = []
+        for s in (0, 1, 2, 4):
+            Y = r if s == 0 else OF.clpf_plane(r, ones, s << shift, dmp)
+            d = (o - Y)[:Hc, :Wc]
+            outs.append((d * d).reshape(h8, 8, w8, 8).sum(axis=(1, 3)))
+        return jnp.stack(outs, -1)
+
+    t = np.asarray(run(jnp.asarray(rec_p.astype(np.int32)),
+                       jnp.asarray(org_p.astype(np.int32)), shift, dmp))
+    return (t.astype(np.int64) >> (shift * 2)).astype(np.int64)
+
+
+def clpf_ssd_tables(rec, org, bitdepth, qp, mono):
+    """Per-plane [h8,w8,4] CLPF SSD tables (device pre-pass), or None."""
+    if not _device_ok():
+        return None
+    shift = bitdepth - 8
+    tabs = {}
+    planes = [(0, rec.y, org.y)]
+    if not mono:
+        planes += [(1, rec.u, org.u), (2, rec.v, org.v)]
+    for plane, rp, op in planes:
+        dmp = bitdepth - 4 - (plane != 0) + (qp >> 4)
+        tabs[plane] = _clpf_tables_plane_dev(rp, op, shift, dmp)
+    return tabs

@@ -593,3 +593,19 @@ def filters_exec(y, u, v, mv_, mh_, cmv, cmh, lv0, sec0, m0, lv1, sec1,
           else jnp.concatenate([u, v], axis=0))
     return jnp.concatenate([y.astype(jnp.int16),
                             uv.astype(jnp.int16)], axis=0)
+
+
+@partial(jax.jit, static_argnames=("qp", "qpc", "bd", "sub", "mono"))
+def deblock_exec(y, u, v, mv_, mh_, cmv, cmh, qp: int, qpc: int, bd: int,
+                 sub: int, mono: bool):
+    """Deblock all three planes in one dispatch; packed int16 return
+    (encoder tail uses this; the decoder's full chain is filters_exec)."""
+    y = deblock_plane_y(y.astype(jnp.int32), mv_, mh_, qp, bd)
+    if mono:
+        return y.astype(jnp.int16)
+    u = deblock_plane_uv(u.astype(jnp.int32), cmv, cmh, qpc, sub, bd)
+    v = deblock_plane_uv(v.astype(jnp.int32), cmv, cmh, qpc, sub, bd)
+    uv = (jnp.concatenate([u, v], axis=1) if sub
+          else jnp.concatenate([u, v], axis=0))
+    return jnp.concatenate([y.astype(jnp.int16),
+                            uv.astype(jnp.int16)], axis=0)
