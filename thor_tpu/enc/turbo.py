@@ -432,8 +432,7 @@ def decide_frame(enc):
         mv[8] = jnp.repeat(jnp.repeat(
             mv[16].reshape(H // 16, W // 16, 2), 2, 0), 2, 1).reshape(-1, 2)
 
-    cost = {}
-    meta = {}
+    fseg, iseg = [], []
     for s in SIZES:
         n = (H // s) * (W // s)
         if not is_i:
@@ -448,8 +447,24 @@ def decide_frame(enc):
         else:
             cn = jnp.full((n,), jnp.inf, jnp.float32)
             imode = jnp.zeros((n,), I32)
-        cost[s] = (np.asarray(cs), np.asarray(ci), np.asarray(cn))
-        meta[s] = (np.asarray(mvs), np.asarray(mvc), np.asarray(imode))
+        fseg += [cs, ci, cn]
+        iseg += [mvs.reshape(-1), mvc.reshape(-1), imode]
+
+    # ONE pull each for costs and metadata (a tunneled pull has a fixed
+    # ~55ms charge; 30 pulls/frame would dominate the decision pass)
+    fpk = np.asarray(jnp.concatenate(fseg))
+    ipk = np.asarray(jnp.concatenate(iseg))
+    cost, meta = {}, {}
+    fo = io = 0
+    for s in SIZES:
+        n = (H // s) * (W // s)
+        cost[s] = (fpk[fo:fo + n], fpk[fo + n:fo + 2 * n],
+                   fpk[fo + 2 * n:fo + 3 * n])
+        fo += 3 * n
+        meta[s] = (ipk[io:io + 2 * n].reshape(n, 2),
+                   ipk[io + 2 * n:io + 4 * n].reshape(n, 2),
+                   ipk[io + 4 * n:io + 5 * n])
+        io += 5 * n
 
     # blocks that don't fit the visible frame can't be leaves
     lamf = float(lam)

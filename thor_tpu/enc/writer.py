@@ -82,6 +82,48 @@ def write_mv(w: BitWriter, mv, mvp):
         w.put_flc(1, 1 if dy < 0 else 0)
 
 
+_NATIVE_W = None
+
+
+def _native_writer():
+    global _NATIVE_W
+    if _NATIVE_W is None:
+        import ctypes
+        from .._native import get_lib, BwStruct
+        lib = get_lib()
+        if lib is not None:
+            lib.write_coeff_scan.argtypes = [
+                ctypes.POINTER(BwStruct),
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int]
+            lib.write_coeff_scan.restype = None
+        _NATIVE_W = (lib,)
+    return _NATIVE_W[0]
+
+
+def _write_coeff_native(w: BitWriter, lib, scoeff16, qsize, ctype, vlc10):
+    """Run the C coefficient scan into a scratch buffer continuing the
+    BitWriter's pending word, then splice the output back."""
+    import ctypes
+    from .._native import BwStruct
+    buf = (ctypes.c_uint8 * 8192)()
+    bw = BwStruct(ctypes.cast(buf, ctypes.c_void_p), 8192, 0,
+                  w.bitbuf, w.bitrest)
+    lib.write_coeff_scan(
+        ctypes.byref(bw),
+        scoeff16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        qsize, ctype, vlc10)
+    nb = bw.bytepos
+    if nb:
+        end = w.bytepos + nb
+        if len(w.buf) < end:
+            w.buf.extend(b"\0" * (end - len(w.buf)))
+        w.buf[w.bytepos:end] = bytes(buf[:nb])
+        w.bytepos = end
+    w.bitbuf = bw.bitbuf
+    w.bitrest = bw.bitrest
+
+
 def write_coeff(w: BitWriter, coeff: np.ndarray, size: int, ctype: int):
     """Zigzag run/level coding (enc/write_bits.c:145-242).
     coeff: (qsize,qsize) int array."""
@@ -91,6 +133,15 @@ def write_coeff(w: BitWriter, coeff: np.ndarray, size: int, ctype: int):
     intra_flag = (ctype >> 1) & 1
     vlc_adaptive = int(intra_flag and not chroma_flag)
     eob_pos = 0 if chroma_flag else 2
+    lib = _native_writer()
+    if lib is not None:
+        sc16 = np.zeros(N, np.int16)
+        sc16[ZIGZAG[qsize]] = coeff[:qsize, :qsize].reshape(-1)
+        if not sc16.any():
+            raise ValueError("No coeffs even if cbp nonzero")
+        _write_coeff_native(w, lib, sc16, qsize, ctype,
+                            int(bool(chroma_flag and size <= 8)))
+        return
     scoeff = np.zeros(N, np.int32)
     scoeff[ZIGZAG[qsize]] = coeff[:qsize, :qsize].reshape(-1)
     sc = scoeff.tolist()
