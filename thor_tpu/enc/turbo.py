@@ -163,12 +163,7 @@ def prepass_half(orgh, refh, Hh: int, Wh: int):
             best = jnp.where(upd, c, best)
             bdy = jnp.where(upd, dy, bdy)
             bdx = jnp.where(upd, dx, bdx)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            c = sad_at_o = sad_at(bdy + dy, bdx + dx) \
-                if False else None
+
     # +-1 refine around the coarse winner (dynamic offsets)
     def sad_dyn(dy, dx):
         w = refh[(yy + pad + bdy + dy)[:, None, None] +
@@ -210,12 +205,25 @@ def refine16(org, reff, mv_half, H: int, W: int, bd: int):
         return (jnp.where(upd, c, best), jnp.where(upd, cy, bmy),
                 jnp.where(upd, cx, bmx))
 
+    def probe_int(mvy, mvx, best, bmy, bmx):
+        # integer-pel candidates: the MC is a plain copy, skip the taps
+        cy, cx = _clip_mv_b(mvy, mvx, yy, xx, W, H, s)
+        y0 = yy + (cy >> 2) + pad
+        x0 = xx + (cx >> 2) + pad
+        w = reff[(y0[:, None] + jnp.arange(s, dtype=I32))[:, :, None],
+                 (x0[:, None] + jnp.arange(s, dtype=I32))[:, None, :]]
+        c = jnp.abs(w - ot).sum(axis=(1, 2))
+        upd = c < best
+        return (jnp.where(upd, c, best), jnp.where(upd, cy, bmy),
+                jnp.where(upd, cx, bmx))
+
     best = jnp.full((yy.shape[0],), 1 << 30, I32)
     bmy = jnp.zeros_like(best)
     bmx = jnp.zeros_like(best)
     for dy in (-4, 0, 4):
         for dx in (-4, 0, 4):
-            best, bmy, bmx = probe(mvy0 + dy, mvx0 + dx, best, bmy, bmx)
+            best, bmy, bmx = probe_int(mvy0 + dy, mvx0 + dx, best, bmy,
+                                       bmx)
     cy, cx = bmy, bmx
     for dy in (-2, 0, 2):
         for dx in (-2, 0, 2):
