@@ -137,7 +137,8 @@ class Encoder:
         # emission (enc/turbo.py).  Opt-in (bitstreams are compliant but
         # not byte-identical with the sequential RDO).
         import os as _os
-        self.turbo = _os.environ.get("THOR_TURBO", "0") == "1"
+        self.turbo = (p.turbo == 1 or
+                      _os.environ.get("THOR_TURBO", "0") == "1")
         self.cdef_damping = 5
         self.cdef_bits = 0
         self.cdef_strengths = [127] * 8

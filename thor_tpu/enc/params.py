@@ -69,6 +69,9 @@ class EncParams:
     bitdepth: int = 8
     frame_bitdepth: int = 8
     input_bitdepth: int = 8
+    # thor_tpu extension: turbo throughput mode (batched device
+    # decisions + exact emission, enc/turbo.py); not a reference flag
+    turbo: int = 0
     # set only via y4m probing (enc/strings.c:285,427-433)
     aspectnum: int = 1
     aspectden: int = 1
@@ -107,6 +110,7 @@ _FLAGS = {
     "-n": ("num_frames", int), "-skip": ("skip", int),
     "-width": ("width", int), "-height": ("height", int),
     "-qp": ("qp", int), "-log2_sb_size": ("log2_sb_size", int),
+    "-turbo": ("turbo", int),
     "-f": ("frame_rate", float),
     "-lambda_coeffI": ("lambda_coeffI", float),
     "-lambda_coeffP": ("lambda_coeffP", float),
