@@ -24,7 +24,23 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
-THORDEC_1080P_FPS_X86 = 26.3
+def _baseline_fps(pattern, default):
+    """Parse a baseline number out of BASELINE.md (single source of
+    truth for reference-build measurements)."""
+    import re
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.md")
+    try:
+        m = re.search(pattern, open(path).read())
+        return float(m.group(1)) if m else default
+    except OSError:
+        return default
+
+
+THORDEC_1080P_FPS_X86 = _baseline_fps(
+    r"bench\.py:\s*([0-9.]+)\s*fps", 26.3)
+THORENC_LC_1080P_FPS_X86 = _baseline_fps(
+    r"LDB low-complexity \| ([0-9.]+)", 3.19)
 REC_SHA256 = "287b83855649b54ea8deb70db12cb222f16561eb25150ecdb1217823111425ef"
 STREAM = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "benchmarks", "stream_1080p_lc.bit")
@@ -90,9 +106,6 @@ def main():
             synthetic_pipeline_fps(), 2)
     except Exception as e:  # noqa: BLE001
         extras["synthetic_pixel_pipeline_fps"] = f"error: {type(e).__name__}"
-    # turbo encode measured separately (first-run compile is minutes on a
-    # tunneled chip); see benchmarks/RESULTS.md for the methodology
-    extras["turbo_encode_1080p_fps_measured"] = 0.08
     print(json.dumps({
         "metric": "1080p REAL end-to-end decode fps (single chip, host "
                   "entropy + device pixel pipeline + device loop "

@@ -12,9 +12,17 @@ filenames get YUV4MPEG2 headers like the reference.
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import numpy as np
+
+# Persistent XLA compile cache: device paths (turbo/device encoder, the
+# decode pixel executor) pay multi-minute cold compiles on a tunneled
+# chip otherwise; with the cache only the first-ever process pays.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/thor_tpu_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 from .io_y4m import (FRAME_MARKER, extract_raw_frames, probe_y4m,
                      y4m_file_header)

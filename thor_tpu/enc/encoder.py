@@ -139,6 +139,10 @@ class Encoder:
         import os as _os
         self.turbo = (p.turbo == 1 or
                       _os.environ.get("THOR_TURBO", "0") == "1")
+        # Bit-exact wavefront device encoder (enc/device_lc.py); falls
+        # back to the host RDO loop per frame when lc_supported is false.
+        self.device_sb_loop = (p.device_enc == 1 or
+                               _os.environ.get("THOR_DEVICE_ENC", "0") == "1")
         self.cdef_damping = 5
         self.cdef_bits = 0
         self.cdef_strengths = [127] * 8

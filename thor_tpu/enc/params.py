@@ -72,6 +72,9 @@ class EncParams:
     # thor_tpu extension: turbo throughput mode (batched device
     # decisions + exact emission, enc/turbo.py); not a reference flag
     turbo: int = 0
+    # thor_tpu extension: bit-exact wavefront device encoder for the
+    # supported (LDB-LC) path (enc/device_lc.py); not a reference flag
+    device_enc: int = 0
     # set only via y4m probing (enc/strings.c:285,427-433)
     aspectnum: int = 1
     aspectden: int = 1
@@ -111,6 +114,7 @@ _FLAGS = {
     "-width": ("width", int), "-height": ("height", int),
     "-qp": ("qp", int), "-log2_sb_size": ("log2_sb_size", int),
     "-turbo": ("turbo", int),
+    "-device_enc": ("device_enc", int),
     "-f": ("frame_rate", float),
     "-lambda_coeffI": ("lambda_coeffI", float),
     "-lambda_coeffP": ("lambda_coeffP", float),
