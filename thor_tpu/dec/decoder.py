@@ -692,15 +692,6 @@ class Decoder:
         bp, coeffs = self.read_block(s, size, ypos, xpos, mode, ref_idx,
                                      ctx_cbp)
         mode = bp["mode"]
-        tb_split = bp["tb_split"]
-        ql = qp_to_qlevel(qpY, h.qmtx_offset) if h.qmtx else 0
-
-        def iwm(plane, intra_f):
-            # per-size matrix list (C iwmatrix[ql][plane][intra]); dequant
-            # sites index by log2(size/4)
-            if not h.qmtx:
-                return None
-            return self.iwmatrix[ql][plane][intra_f]
 
         if self._plan is not None:
             # device pixel pipeline: defer all pixel work (device_pixels)
@@ -715,6 +706,31 @@ class Decoder:
                     self._plan_tbs(bp, coeffs, size, ypos, xpos, qpY, qpC)
             self._copy_deblock_data(bp, size, ypos, xpos, bwidth, bheight)
             return
+
+        self._exec_block(bp, coeffs, size, ypos, xpos, qpY, qpC)
+        self._copy_deblock_data(bp, size, ypos, xpos, bwidth, bheight)
+
+    def _exec_block(self, bp, coeffs, size, ypos, xpos, qpY, qpC):
+        """Pixel work for one parsed block (intra/inter prediction,
+        dequant + itransform, reconstruct) - the body of decode_block
+        with the syntax already consumed (native or Python walk)."""
+        h = self.h
+        rec = self.rec
+        sub = self.sub
+        sizeY = size
+        sizeC = size >> sub
+        bwidth = min(size, self.width - xpos)
+        bheight = min(size, self.height - ypos)
+        mode = bp["mode"]
+        tb_split = bp["tb_split"]
+        ql = qp_to_qlevel(qpY, h.qmtx_offset) if h.qmtx else 0
+
+        def iwm(plane, intra_f):
+            # per-size matrix list (C iwmatrix[ql][plane][intra]); dequant
+            # sites index by log2(size/4)
+            if not h.qmtx:
+                return None
+            return self.iwmatrix[ql][plane][intra_f]
 
         if mode == MODE_INTRA:
             self._intra_block(bp, coeffs, size, ypos, xpos, qpY, qpC, iwm)
@@ -733,7 +749,6 @@ class Decoder:
                     rec.v[ypos >> sub:(ypos >> sub) + bh2,
                           xpos >> sub:(xpos >> sub) + bw2] = \
                         pv[:bh2, :bw2].astype(rec.dtype)
-                self._copy_deblock_data(bp, size, ypos, xpos, bwidth, bheight)
                 return
             # dequant + itransform + reconstruct
             ry = self._inter_residual(coeffs["y"], sizeY, qpY, tb_split,
@@ -758,7 +773,6 @@ class Decoder:
                                           iwm(2, 0), h.bitdepth)
                 rec.v[yC:yC + sizeC, xC:xC + sizeC] = \
                     reconstruct_block(rv, pv, h.bitdepth).astype(rec.dtype)
-        self._copy_deblock_data(bp, size, ypos, xpos, bwidth, bheight)
 
     def _intra_block(self, bp, coeffs, size, ypos, xpos, qpY, qpC, iwm):
         """Intra branch of decode_block (dec/decode_block.c:245-276)."""
@@ -842,6 +856,58 @@ class Decoder:
         for (size, ypos, xpos, bp, coeffs, qpY, qpC) in self._plan.intra:
             self._intra_block(bp, coeffs, size, ypos, xpos, qpY, qpC,
                               lambda plane, intra_f: None)
+
+    # ----- native-parse record replay -----
+    def _record_iter(self, blks, tbs, coef, only_intra=False):
+        """Yield (rec, bp, coeffs) for native leaf records in coding
+        order, with per-block TB slices resolved."""
+        from . import native_parse as NP
+        if len(tbs):
+            tb_blk = tbs[:, NP.T_BLK]
+            idx = np.arange(len(blks))
+            starts = np.searchsorted(tb_blk, idx, "left")
+            ends = np.searchsorted(tb_blk, idx, "right")
+        else:
+            starts = ends = np.zeros(len(blks), np.int64)
+        for i in range(len(blks)):
+            rec = blks[i]
+            if only_intra and rec[NP.B_MODE] != MODE_INTRA:
+                continue
+            bp = NP.block_params(rec)
+            coeffs = NP.block_coeffs(self, rec, tbs[starts[i]:ends[i]],
+                                     coef)
+            yield rec, bp, coeffs
+
+    def _exec_records_host(self, blks, tbs, coef):
+        """Host pixel execution of a natively parsed frame (coding
+        order; deblock-data was already written during the C parse)."""
+        from . import native_parse as NP
+        for rec, bp, coeffs in self._record_iter(blks, tbs, coef):
+            self._exec_block(bp, coeffs, int(rec[NP.B_SIZE]),
+                             int(rec[NP.B_YPOS]), int(rec[NP.B_XPOS]),
+                             int(rec[NP.B_QPY]), int(rec[NP.B_QPC]))
+
+    def _exec_intra_records(self, blks, tbs, coef):
+        """Replay only the intra blocks of a natively parsed frame (the
+        inter cells were reconstructed on device)."""
+        from . import native_parse as NP
+        ql_cache = {}
+
+        def iwm_for(qpY):
+            if not self.h.qmtx:
+                return lambda plane, intra_f: None
+            ql = qp_to_qlevel(qpY, self.h.qmtx_offset)
+            if ql not in ql_cache:
+                ql_cache[ql] = self.iwmatrix[ql]
+            mat = ql_cache[ql]
+            return lambda plane, intra_f: mat[plane][intra_f]
+
+        for rec, bp, coeffs in self._record_iter(blks, tbs, coef,
+                                                 only_intra=True):
+            self._intra_block(bp, coeffs, int(rec[NP.B_SIZE]),
+                              int(rec[NP.B_YPOS]), int(rec[NP.B_XPOS]),
+                              int(rec[NP.B_QPY]), int(rec[NP.B_QPC]),
+                              iwm_for(int(rec[NP.B_QPY])))
 
     def _inter_residual(self, coeff, size, qp, tb_split, iwmatrix, bitdepth):
         """decode_and_reconstruct_block_inter minus the final add."""
@@ -1207,34 +1273,62 @@ class Decoder:
         # Device pixel pipeline: host entropy scan fills a dense frame
         # plan; the device executes MC + residual + recon in batched calls
         # and the few intra blocks replay on the host afterwards.
-        if (self.use_device_pixels and fi.frame_type != I_FRAME
-                and h.subsample == 420 and not h.qmtx and not h.cfl_inter):
-            from . import device_pixels as DP
-            slots, refs = {}, []
+        plan_gate = (self.use_device_pixels and fi.frame_type != I_FRAME
+                     and h.subsample == 420 and not h.qmtx
+                     and not h.cfl_inter)
+        slots, refs = {}, []
+        if plan_gate:
             for r in range(fi.num_ref):
                 ra = fi.ref_array[r]
                 if ra not in slots:
                     slots[ra] = len(refs)
                     refs.append(self._ref_frame(ra))
-            self._plan = DP.FramePlan(self.width, self.height)
-            self._plan_slots = slots
-            self._plan_refs = refs
 
-        sb_size = 1 << h.log2_sb_size
-        num_sb_hor = (self.width + sb_size - 1) // sb_size
-        num_sb_ver = (self.height + sb_size - 1) // sb_size
-        for k in range(num_sb_ver):
-            for l in range(num_sb_hor):
-                self.process_block(s, sb_size, k * sb_size, l * sb_size)
+        # Native (C) block-layer parse: one call for the whole SB walk,
+        # filling the device plan grids / leaf records directly.
+        native_res = None
+        from . import native_parse as NP
+        if NP.available():
+            plan = None
+            if plan_gate:
+                from . import device_pixels as DP
+                plan = DP.FramePlan(self.width, self.height)
+            native_res = NP.parse_frame(self, s, plan,
+                                        slots if plan_gate else None)
+            if native_res is not None and plan_gate:
+                from . import device_pixels as DP
+                blks, tbs, coef = native_res
+                ex = getattr(self, "plan_executor", None) or DP.execute
+                ex(self, plan, slots, refs)
+                self._exec_intra_records(blks, tbs, coef)
+            elif native_res is not None:
+                blks, tbs, coef = native_res
+                self._exec_records_host(blks, tbs, coef)
 
-        if self._plan is not None:
-            from . import device_pixels as DP
-            ex = getattr(self, "plan_executor", None) or DP.execute
-            ex(self, self._plan, self._plan_slots, self._plan_refs)
-            self._replay_intra()
-            self._plan = None
-            self._plan_slots = None
-            self._plan_refs = None
+        if native_res is None:
+            # Python walk (fallback / ground truth)
+            if plan_gate:
+                from . import device_pixels as DP
+                self._plan = DP.FramePlan(self.width, self.height)
+                self._plan_slots = slots
+                self._plan_refs = refs
+
+            sb_size = 1 << h.log2_sb_size
+            num_sb_hor = (self.width + sb_size - 1) // sb_size
+            num_sb_ver = (self.height + sb_size - 1) // sb_size
+            for k in range(num_sb_ver):
+                for l in range(num_sb_hor):
+                    self.process_block(s, sb_size, k * sb_size,
+                                       l * sb_size)
+
+            if self._plan is not None:
+                from . import device_pixels as DP
+                ex = getattr(self, "plan_executor", None) or DP.execute
+                ex(self, self._plan, self._plan_slots, self._plan_refs)
+                self._replay_intra()
+                self._plan = None
+                self._plan_slots = None
+                self._plan_refs = None
 
         qp = fi.qp = fi.qpb
 
