@@ -822,7 +822,7 @@ static void read_block_c(parse_ctx_t *c, br_t *br, int size, int ypos,
                 cbpy = tmp & 1; cbpu = (tmp >> 1) & 1; cbpv = (tmp >> 2) & 1;
             }
             rec[B_CBP_Y] = cbpy; rec[B_CBP_U] = cbpu; rec[B_CBP_V] = cbpv;
-            int dense = mode != MODE_INTRA;
+            int dense = 1;
             if (cbpy) {
                 bit_start = br->bitpos;
                 read_tb(c, br, (int)blk_idx, 0, sizeY, ypos, xpos, qpY,
@@ -844,7 +844,7 @@ static void read_block_c(parse_ctx_t *c, br_t *br, int size, int ypos,
                 }
             }
         } else {
-            int dense = mode != MODE_INTRA;
+            int dense = 1;
             int s2 = sizeY / 2;
             if (sizeC > 4) {
                 int sc2 = sizeC / 2;

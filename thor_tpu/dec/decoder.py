@@ -312,6 +312,11 @@ class Decoder:
         # fallback story as the filters.
         self.use_device_pixels = _os.environ.get(
             "THOR_DEVICE_PIXELS", "1") != "0"
+        # Fully-resident fused frame decoder (dec/device_frame.py): one
+        # dispatch + one pull per frame, refs resident on device.
+        self.use_device_frame = _os.environ.get(
+            "THOR_DEVICE_FRAME", "1") != "0"
+        self._device_frame = None
         self._plan = None
         self._plan_slots = None
         self._plan_refs = None
@@ -1273,11 +1278,11 @@ class Decoder:
         # Device pixel pipeline: host entropy scan fills a dense frame
         # plan; the device executes MC + residual + recon in batched calls
         # and the few intra blocks replay on the host afterwards.
-        plan_gate = (self.use_device_pixels and fi.frame_type != I_FRAME
-                     and h.subsample == 420 and not h.qmtx
-                     and not h.cfl_inter)
+        stream_gate = (self.use_device_pixels and h.subsample == 420
+                       and not h.qmtx and not h.cfl_inter)
+        plan_gate = stream_gate and fi.frame_type != I_FRAME
         slots, refs = {}, []
-        if plan_gate:
+        if stream_gate:
             for r in range(fi.num_ref):
                 ra = fi.ref_array[r]
                 if ra not in slots:
@@ -1287,23 +1292,42 @@ class Decoder:
         # Native (C) block-layer parse: one call for the whole SB walk,
         # filling the device plan grids / leaf records directly.
         native_res = None
+        filters_done = False
         from . import native_parse as NP
         if NP.available():
             plan = None
-            if plan_gate:
+            if stream_gate:
                 from . import device_pixels as DP
                 plan = DP.FramePlan(self.width, self.height)
             native_res = NP.parse_frame(self, s, plan,
-                                        slots if plan_gate else None)
-            if native_res is not None and plan_gate:
-                from . import device_pixels as DP
+                                        slots if stream_gate else None)
+            if native_res is not None:
                 blks, tbs, coef = native_res
-                ex = getattr(self, "plan_executor", None) or DP.execute
-                ex(self, plan, slots, refs)
-                self._exec_intra_records(blks, tbs, coef)
-            elif native_res is not None:
-                blks, tbs, coef = native_res
-                self._exec_records_host(blks, tbs, coef)
+                fused = None
+                if stream_gate and self.use_device_frame:
+                    from . import device_frame as DF
+                    if self._device_frame is None:
+                        self._device_frame = DF.DeviceFrameDecoder()
+                    if self._device_frame.eligible(self, blks):
+                        fused = self._device_frame
+                if fused is not None:
+                    # qp threading + temporal MV store happen before the
+                    # filter-stage stream reads, as in the Python path
+                    fi.qp = fi.qpb
+                    if h.interp_ref > 1:
+                        gop = h.num_reorder_pics + 1
+                        coded_phase = (fi.decode_order_frame_num + gop -
+                                       2) % gop + 1
+                        self._store_mv(log2i(coded_phase), gop)
+                    fused.run(self, s, blks, plan, refs)
+                    filters_done = True
+                elif plan_gate:
+                    from . import device_pixels as DP
+                    ex = getattr(self, "plan_executor", None) or DP.execute
+                    ex(self, plan, slots, refs)
+                    self._exec_intra_records(blks, tbs, coef)
+                else:
+                    self._exec_records_host(blks, tbs, coef)
 
         if native_res is None:
             # Python walk (fallback / ground truth)
@@ -1330,18 +1354,19 @@ class Decoder:
                 self._plan_slots = None
                 self._plan_refs = None
 
-        qp = fi.qp = fi.qpb
+        if not filters_done:
+            qp = fi.qp = fi.qpb
 
-        if h.interp_ref > 1:
-            gop = h.num_reorder_pics + 1
-            coded_phase = (fi.decode_order_frame_num + gop - 2) % gop + 1
-            b_level = log2i(coded_phase)
-            self._store_mv(b_level, gop)
+            if h.interp_ref > 1:
+                gop = h.num_reorder_pics + 1
+                coded_phase = (fi.decode_order_frame_num + gop - 2) % gop + 1
+                b_level = log2i(coded_phase)
+                self._store_mv(b_level, gop)
 
-        if self.use_device_filters:
-            self._loop_filters_device(s, qp)
-        else:
-            self._loop_filters_spec(s, qp)
+            if self.use_device_filters:
+                self._loop_filters_device(s, qp)
+            else:
+                self._loop_filters_spec(s, qp)
 
         # reference sliding window
         tmp = self.ref[MAX_REF_FRAMES - 1]
