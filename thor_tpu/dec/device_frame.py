@@ -33,7 +33,7 @@ from . import device_pixels as DP
 from . import native_parse as NP
 
 I32 = jnp.int32
-AP = 8                       # read apron for intra reference slices
+AP = 136                     # apron: window writes + ref reads
 PADDING = 160                # luma ref padding (common/global.h:62)
 MODE_INTRA = 1
 I_FRAME = 0
@@ -42,12 +42,12 @@ LY_KEYS = ("op0", "y0_0", "x0_0", "vf0", "hf0", "fs0", "r0",
            "op1", "y0_1", "x0_1", "vf1", "hf1", "fs1", "r1")
 CH_KEYS = ("op0", "y0_0", "x0_0", "vf0", "hf0",
            "op1", "y0_1", "x0_1", "vf1", "hf1")
-NODE_BUCKETS = (64, 256, 1024, 4096, 16384, 65536)
+SEG_BUCKETS = (8, 32, 128, 512, 2048)
 INTRA_SIZES = (8, 16, 32, 64, 128)
 
 
 def _bucket(n):
-    for b in NODE_BUCKETS:
+    for b in SEG_BUCKETS:
         if n <= b:
             return b
     raise ValueError(n)
@@ -109,72 +109,164 @@ def _cfl_j(pred_y, pu, pv, rec_y, n: int, bd: int):
 
 
 # ---------------------------------------------------------------------------
-# intra scan (sequential in coding order; inter cells are final)
+# intra wavefront scan (wave-batched; inter cells are final)
 # ---------------------------------------------------------------------------
 
-def _intra_scan(y_pl, u_pl, v_pl, nodes, res_y, res_u, res_v, bd: int,
-                cfl: bool, sizes):
-    """nodes: [N,7] int32 (act, yy, xx, log2size, mode, ur, dl).
-    sizes: static tuple of block sizes that can occur (fit the frame);
-    the switch index is log2(size)-2, clamped by lax.switch."""
+LANES = 64          # intra blocks processed per wave segment
+
+
+def _intra_waves(y_pl, u_pl, v_pl, segs, segcls, res_y, res_u, res_v,
+                 bd: int, cfl: bool, sizes):
+    """segs: [S, LANES, 7] int32 (act, yy, xx, log2size, mode, ur, dl);
+    segcls: [S] size-class per segment (0 inactive, i+1 -> sizes[i]).
+    All blocks in a segment are one size and mutually independent (the
+    host wave builder guarantees it), so each scan step reconstructs up
+    to LANES intra blocks batched.  Writes happen OUTSIDE the size
+    switch as masked read-modify-write windows, so the plane carries
+    stay buffer-aliased in place across steps."""
     maxv = (1 << bd) - 1
+    WMAX = max(sizes)
+    WC = max(WMAX // 2, 4)
 
     def _pred16(p):
         return ((p.astype(jnp.int32) << 16) >> 16)
 
+    def _slices(plane, yy, xx, n: int):
+        def f(y, x):
+            return jax.lax.dynamic_slice(plane, (y, x), (n, n))
+        return jax.vmap(f)(yy, xx)
+
     def make_case(n):
         nc = n >> 1
 
-        def case(carry, yy, xx, mode, ur, dl):
-            y_pl, u_pl, v_pl = carry
-            l, t, tl = IB.make_refs_batch(y_pl, yy[None], xx[None], n,
-                                          ur[None] > 0, dl[None] > 0, bd)
-            preds = IB.predict_all_modes(l, t, tl, yy[None], xx[None], n,
-                                         bd, 10)[:, 0]
-            pred = jax.lax.dynamic_index_in_dim(preds, mode, axis=0,
-                                                keepdims=False)
-            res = jax.lax.dynamic_slice(res_y, (yy, xx), (n, n))
-            rec = jnp.clip(res + _pred16(pred), 0, maxv)
-            y_pl = jax.lax.dynamic_update_slice(y_pl, rec, (yy, xx))
+        def case(y_pl, u_pl, v_pl, nd):
+            yy, xx = nd[:, 1], nd[:, 2]
+            mode = nd[:, 4]
+            ur, dl = nd[:, 5] > 0, nd[:, 6] > 0
+            l, t, tl = IB.make_refs_batch(y_pl, yy, xx, n, ur, dl, bd)
+            preds = IB.predict_all_modes(l, t, tl, yy, xx, n, bd, 10)
+            pred = jnp.take_along_axis(
+                preds, mode[None, :, None, None], axis=0)[0]
+            rec = jnp.clip(_slices(res_y, yy, xx, n) + _pred16(pred), 0,
+                           maxv)
             yc, xc = yy >> 1, xx >> 1
-            lu, tu, tlu = IB.make_refs_batch(u_pl, yc[None], xc[None], nc,
-                                             ur[None] > 0, dl[None] > 0,
-                                             bd)
-            pu = jax.lax.dynamic_index_in_dim(
-                IB.predict_all_modes(lu, tu, tlu, yc[None], xc[None], nc,
-                                     bd, 10)[:, 0], mode, axis=0,
-                keepdims=False)
-            lv, tv, tlv = IB.make_refs_batch(v_pl, yc[None], xc[None], nc,
-                                             ur[None] > 0, dl[None] > 0,
-                                             bd)
-            pv = jax.lax.dynamic_index_in_dim(
-                IB.predict_all_modes(lv, tv, tlv, yc[None], xc[None], nc,
-                                     bd, 10)[:, 0], mode, axis=0,
-                keepdims=False)
+            lu, tu, tlu = IB.make_refs_batch(u_pl, yc, xc, nc, ur, dl, bd)
+            pu = jnp.take_along_axis(
+                IB.predict_all_modes(lu, tu, tlu, yc, xc, nc, bd, 10),
+                mode[None, :, None, None], axis=0)[0]
+            lv, tv, tlv = IB.make_refs_batch(v_pl, yc, xc, nc, ur, dl, bd)
+            pv = jnp.take_along_axis(
+                IB.predict_all_modes(lv, tv, tlv, yc, xc, nc, bd, 10),
+                mode[None, :, None, None], axis=0)[0]
             if cfl:
-                pu, pv = _cfl_j(pred, pu, pv, rec, n, bd)
-            ru = jax.lax.dynamic_slice(res_u, (yc, xc), (nc, nc))
-            rv = jax.lax.dynamic_slice(res_v, (yc, xc), (nc, nc))
-            u_pl = jax.lax.dynamic_update_slice(
-                u_pl, jnp.clip(ru + _pred16(pu), 0, maxv), (yc, xc))
-            v_pl = jax.lax.dynamic_update_slice(
-                v_pl, jnp.clip(rv + _pred16(pv), 0, maxv), (yc, xc))
-            return (y_pl, u_pl, v_pl)
+                pu, pv = jax.vmap(
+                    lambda p_, u_, v_, r_: _cfl_j(p_, u_, v_, r_, n, bd))(
+                        pred, pu, pv, rec)
+            recu = jnp.clip(_slices(res_u, yc, xc, nc) + _pred16(pu), 0,
+                            maxv)
+            recv = jnp.clip(_slices(res_v, yc, xc, nc) + _pred16(pv), 0,
+                            maxv)
+            L = yy.shape[0]
+            py = jnp.zeros((L, WMAX, WMAX), jnp.int32).at[
+                :, :n, :n].set(rec)
+            pu_ = jnp.zeros((L, WC, WC), jnp.int32).at[
+                :, :nc, :nc].set(recu)
+            pv_ = jnp.zeros((L, WC, WC), jnp.int32).at[
+                :, :nc, :nc].set(recv)
+            return py, pu_, pv_
 
         return case
 
-    cases = [lambda c, *a: c] + [make_case(n) for n in sizes]
+    zeros_case = lambda y_pl, u_pl, v_pl, nd: (  # noqa: E731
+        jnp.zeros((nd.shape[0], WMAX, WMAX), jnp.int32),
+        jnp.zeros((nd.shape[0], WC, WC), jnp.int32),
+        jnp.zeros((nd.shape[0], WC, WC), jnp.int32))
+    cases = [zeros_case] + [make_case(n) for n in sizes]
 
-    def step(carry, node):
-        act, yy, xx, lg, mode, ur, dl = (node[0], node[1], node[2],
-                                         node[3], node[4], node[5],
-                                         node[6])
-        idx = jnp.where(act > 0, lg - 2, 0)  # log2(8)=3 -> case 1
-        carry = jax.lax.switch(idx, cases, carry, yy, xx, mode, ur, dl)
+    ii = jnp.arange(WMAX)[:, None]
+    jj = jnp.arange(WMAX)[None, :]
+    iic = jnp.arange(WC)[:, None]
+    jjc = jnp.arange(WC)[None, :]
+
+    def step(carry, xs):
+        y_pl, u_pl, v_pl = carry
+        nd, cls = xs
+        py, pu_, pv_ = jax.lax.switch(cls, cases, y_pl, u_pl, v_pl, nd)
+        n = jnp.where(cls > 0, 8 << jnp.maximum(cls - 1, 0), 0)
+        nc = n >> 1
+        act = nd[:, 0]
+        ymask = (ii < n) & (jj < n)
+        cmask = (iic < nc) & (jjc < nc)
+
+        def write(i, pls):
+            y_pl, u_pl, v_pl = pls
+            yy, xx = nd[i, 1], nd[i, 2]
+            yc, xc = yy >> 1, xx >> 1
+            on = act[i] > 0
+            wy = jax.lax.dynamic_slice(y_pl, (yy, xx), (WMAX, WMAX))
+            wy = jnp.where(ymask & on, py[i], wy)
+            y_pl = jax.lax.dynamic_update_slice(y_pl, wy, (yy, xx))
+            wu = jax.lax.dynamic_slice(u_pl, (yc, xc), (WC, WC))
+            wu = jnp.where(cmask & on, pu_[i], wu)
+            u_pl = jax.lax.dynamic_update_slice(u_pl, wu, (yc, xc))
+            wv = jax.lax.dynamic_slice(v_pl, (yc, xc), (WC, WC))
+            wv = jnp.where(cmask & on, pv_[i], wv)
+            v_pl = jax.lax.dynamic_update_slice(v_pl, wv, (yc, xc))
+            return (y_pl, u_pl, v_pl)
+
+        carry = jax.lax.fori_loop(0, nd.shape[0], write,
+                                  (y_pl, u_pl, v_pl))
         return carry, 0
 
-    (y_pl, u_pl, v_pl), _ = jax.lax.scan(step, (y_pl, u_pl, v_pl), nodes)
+    (y_pl, u_pl, v_pl), _ = jax.lax.scan(step, (y_pl, u_pl, v_pl),
+                                         (segs, segcls))
     return y_pl, u_pl, v_pl
+
+
+def build_wave_segments(recs, H, W, sizes, lanes=LANES):
+    """Host: conservative dependency waves over the intra records
+    (coding order), then (wave, size) groups cut into <=lanes segments.
+
+    A block's nominal read set is the row above (x-1 .. x+2n-1) and the
+    column left (y-1 .. y+2n-1); true reads are a subset (the
+    availability clamps in make_top_and_left), so ordering by these
+    levels preserves exact decoding."""
+    gh8, gw8 = (H + 7) // 8, (W + 7) // 8
+    g8 = np.zeros((gh8, gw8), np.int32)
+    n_rec = len(recs)
+    waves = np.zeros(n_rec, np.int32)
+    ys = recs[:, NP.B_YPOS]
+    xs = recs[:, NP.B_XPOS]
+    szs = recs[:, NP.B_SIZE]
+    for i in range(n_rec):
+        y, x, n = int(ys[i]), int(xs[i]), int(szs[i])
+        lvl = 0
+        if y > 0:
+            x0 = max(x - 1, 0) // 8
+            xe = min((x + 2 * n - 1) // 8, gw8 - 1)
+            lvl = int(g8[(y - 1) // 8, x0:xe + 1].max())
+        if x > 0:
+            y0 = max(y - 1, 0) // 8
+            ye = min((y + 2 * n - 1) // 8, gh8 - 1)
+            lvl = max(lvl, int(g8[y0:ye + 1, (x - 1) // 8].max()))
+        w = lvl + 1
+        g8[y // 8:(y + n) // 8, x // 8:(x + n) // 8] = w
+        waves[i] = w
+    segs = []
+    size_cls = {s: k + 1 for k, s in enumerate(sizes)}
+    order = np.lexsort((np.arange(n_rec), waves))
+    wsorted = waves[order]
+    starts = np.searchsorted(wsorted, np.arange(1, waves.max() + 2)
+                             if n_rec else np.array([1]))
+    for wi in range(len(starts) - 1):
+        idx = order[starts[wi]:starts[wi + 1]]
+        if not len(idx):
+            continue
+        for s in sizes:
+            ii_ = idx[szs[idx] == s]
+            for k in range(0, len(ii_), lanes):
+                segs.append((size_cls[s], ii_[k:k + lanes]))
+    return segs
 
 
 # ---------------------------------------------------------------------------
@@ -182,24 +274,18 @@ def _intra_scan(y_pl, u_pl, v_pl, nodes, res_y, res_u, res_v, bd: int,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=(
-    "H", "W", "bd", "pad", "pad_c", "has_inter", "has_avg", "cfl",
-    "qp", "qpc", "deblocking", "cdef_damping", "cs", "s_y", "s_u", "s_v",
-    "qpclpf", "out8"))
-def frame_fused(ystack, ustack, vstack, gstack, cstack, coef_y, coef_uv,
-                q4y, q4c, nodes, mv_, mh_, cmv, cmh, lv0, sec0, m0,
-                lv1, sec1, m1, m2, clpf_my, clpf_mu, clpf_mv2,
-                H: int, W: int, bd: int, pad: int, pad_c: int,
-                has_inter: bool, has_avg: bool, cfl: bool, qp: int,
-                qpc: int, deblocking: bool, cdef_damping: int, cs: int,
-                s_y: int, s_u: int, s_v: int, qpclpf: int, out8: bool):
-    """Whole decoded frame in one dispatch.
+    "H", "W", "bd", "pad", "pad_c", "has_inter", "has_avg", "cfl"))
+def pixel_core(ystack, ustack, vstack, gstack, cstack, coef_y, coef_uv,
+               q4y, q4c, segs, segcls, H: int, W: int, bd: int, pad: int,
+               pad_c: int, has_inter: bool, has_avg: bool, cfl: bool):
+    """Residuals + inter MC + intra scan in one dispatch (qp-free
+    statics, so the expensive compile is shared across the QP ladder).
 
     gstack [14, gh*gw] luma plan grids; cstack [12, gh*gw] chroma grids +
     avg + inter; coef_y [hp,wp] i16; coef_uv [2,hc,wc]; q4y/q4c
-    [2,*,*] (qp4, ls4); nodes [N,7] intra nodes; the rest are the
-    filter masks/maps in filters_exec's layout (ops/filters.py:545).
-
-    Returns (packed display buffer, padded ref y/u/v planes)."""
+    [2,*,*] (qp4, ls4); segs [S,LANES,7] + segcls [S] intra wave
+    segments (build_wave_segments).
+    Returns unfiltered (y, u, v) int32 planes."""
     gh, gw = H // 4, W // 4
     H2, W2 = H // 2, W // 2
     maxv = (1 << bd) - 1
@@ -273,13 +359,22 @@ def frame_fused(ystack, ustack, vstack, gstack, cstack, coef_y, coef_uv,
     v_pl = jnp.zeros((H2 + AP, W2 + AP), jnp.int32).at[:H2, :W2].set(
         base_v)
     sizes = tuple(s for s in INTRA_SIZES if s <= min(H, W))
-    y_pl, u_pl, v_pl = _intra_scan(y_pl, u_pl, v_pl, nodes, res_y, res_u,
-                                   res_v, bd, cfl, sizes)
-    y = y_pl[:H, :W]
-    u = u_pl[:H2, :W2]
-    v = v_pl[:H2, :W2]
+    y_pl, u_pl, v_pl = _intra_waves(y_pl, u_pl, v_pl, segs, segcls,
+                                    res_y, res_u, res_v, bd, cfl, sizes)
+    return y_pl[:H, :W], u_pl[:H2, :W2], v_pl[:H2, :W2]
 
-    # ---- in-loop filter chain (ops/filters.py, one pass) ----
+
+@partial(jax.jit, static_argnames=(
+    "bd", "pad", "pad_c", "qp", "qpc", "deblocking", "cdef_damping",
+    "cs", "s_y", "s_u", "s_v", "qpclpf", "out8"))
+def filter_pack(y, u, v, mv_, mh_, cmv, cmh, lv0, sec0, m0, lv1, sec1,
+                m1, m2, clpf_my, clpf_mu, clpf_mv2, bd: int, pad: int,
+                pad_c: int, qp: int, qpc: int, deblocking: bool,
+                cdef_damping: int, cs: int, s_y: int, s_u: int, s_v: int,
+                qpclpf: int, out8: bool):
+    """In-loop filter chain + display packing + reference padding (the
+    cheap per-QP compile; masks in filters_exec's layout,
+    ops/filters.py:545).  Returns (packed, ref_y, ref_u, ref_v)."""
     if deblocking:
         y = OF.deblock_plane_y(y, mv_, mh_, qp, bd)
         u = OF.deblock_plane_uv(u, cmv, cmh, qpc, 1, bd)
@@ -358,21 +453,26 @@ class DeviceFrameDecoder:
         qp = fi.qpb
         qpc = int(CHROMA_QP[qp])
 
-        # ---- intra node list (coding order) ----
+        # ---- intra wave segments (dependency-batched) ----
         sb_size = 1 << h.log2_sb_size
         recs = blks[blks[:, NP.B_MODE] == MODE_INTRA]
-        n_nodes = len(recs)
-        ncap = _bucket(max(n_nodes, 1))
-        nodes = np.zeros((ncap, 7), np.int32)
-        for i, r in enumerate(recs):
-            y, x, size = int(r[NP.B_YPOS]), int(r[NP.B_XPOS]), int(
-                r[NP.B_SIZE])
-            ur = inter.get_upright_available(y, x, size, size, W, H,
-                                             sb_size)
-            dl = inter.get_downleft_available(y, x, size, size, W, H,
-                                              sb_size)
-            nodes[i] = (1, y, x, log2i(size), int(r[NP.B_INTRA_MODE]),
-                        ur, dl)
+        sizes = tuple(s for s in INTRA_SIZES if s <= min(H, W))
+        seg_list = build_wave_segments(recs, H, W, sizes)
+        scap = _bucket(max(len(seg_list), 1))
+        segs = np.zeros((scap, LANES, 7), np.int32)
+        segcls = np.zeros(scap, np.int32)
+        for si, (cls, idx) in enumerate(seg_list):
+            segcls[si] = cls
+            for li, ri in enumerate(idx):
+                r = recs[ri]
+                y, x, size = int(r[NP.B_YPOS]), int(r[NP.B_XPOS]), int(
+                    r[NP.B_SIZE])
+                ur = inter.get_upright_available(y, x, size, size, W, H,
+                                                 sb_size)
+                dl = inter.get_downleft_available(y, x, size, size, W, H,
+                                                  sb_size)
+                segs[si, li] = (1, y, x, log2i(size),
+                                int(r[NP.B_INTRA_MODE]), ur, dl)
 
         # ---- filter-stage host reads + masks (reference order) ----
         if h.deblocking:
@@ -433,19 +533,22 @@ class DeviceFrameDecoder:
         coef_uv = np.stack([plan.coef["u"], plan.coef["v"]])
 
         with jax.enable_x64():
-            packed, ry, ru, rv = frame_fused(
+            yf, uf, vf = pixel_core(
                 ystack, ustack, vstack, jnp.asarray(gstack),
                 jnp.asarray(cstack), jnp.asarray(plan.coef["y"]),
                 jnp.asarray(coef_uv), jnp.asarray(q4y), jnp.asarray(q4c),
-                jnp.asarray(nodes), jnp.asarray(mv_), jnp.asarray(mh_),
+                jnp.asarray(segs), jnp.asarray(segcls),
+                H=H, W=W, bd=bd, pad=PADDING, pad_c=PADDING >> 1,
+                has_inter=has_inter, has_avg=bool(plan.avg.any()),
+                cfl=bool(h.cfl_intra))
+            packed, ry, ru, rv = filter_pack(
+                yf, uf, vf, jnp.asarray(mv_), jnp.asarray(mh_),
                 jnp.asarray(cmv), jnp.asarray(cmh), jnp.asarray(lv0),
                 jnp.asarray(sec0), jnp.asarray(m0), jnp.asarray(lv1),
                 jnp.asarray(sec1), jnp.asarray(m1), jnp.asarray(m2),
                 jnp.asarray(clpf_my), jnp.asarray(clpf_mu),
-                jnp.asarray(clpf_mv2),
-                H=H, W=W, bd=bd, pad=PADDING, pad_c=PADDING >> 1,
-                has_inter=has_inter, has_avg=bool(plan.avg.any()),
-                cfl=bool(h.cfl_intra), qp=qp, qpc=qpc,
+                jnp.asarray(clpf_mv2), bd=bd, pad=PADDING,
+                pad_c=PADDING >> 1, qp=qp, qpc=qpc,
                 deblocking=bool(h.deblocking),
                 cdef_damping=dec.cdef_damping, cs=cs, s_y=s_y, s_u=s_u,
                 s_v=s_v, qpclpf=qp >> 4, out8=(bd == 8))
