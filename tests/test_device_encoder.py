@@ -63,3 +63,10 @@ def test_device_lc_single_sb():
 def test_device_lc_wavefront_edges():
     # multi-SB diagonals plus rectangular edge blocks (352x288)
     _run_both(352, 288, 3, 9)
+
+
+def test_device_lc_default():
+    """Default-suite exactness gate for the wavefront device encoder
+    (same geometry as the slow single-SB test so the persistent compile
+    cache is shared; 2 frames keeps it in the default budget)."""
+    _run_both(128, 128, 2, 5)

@@ -71,3 +71,10 @@ def test_turbo_roundtrip_rect_edge(monkeypatch):
     yuv, bs, rec = _turbo_encode(192, 96, 3, 7, monkeypatch)
     _, frames = decode_stream(bs)
     assert b"".join(frames) == rec
+
+
+def test_turbo_roundtrip_default(monkeypatch):
+    """Default-suite compliance gate for turbo + device finalization."""
+    yuv, bs, rec = _turbo_encode(128, 128, 2, 11, monkeypatch)
+    hdr, frames = decode_stream(bs)
+    assert b"".join(frames) == rec

@@ -519,6 +519,7 @@ def scale2(plane):
 def encode_frame_turbo(enc):
     """Emit the decided frame through the standard bit-exact machinery
     (cf. process_block enc/encode_block.c:2401 minus the RDO)."""
+    import os
     from . import writer as W
     from .encoder import BlockInfo, SQUARED_LAMBDA_QP
     from ..spec import inter
@@ -526,6 +527,11 @@ def encode_frame_turbo(enc):
     p = enc.params
     fi = enc.fi
     dec = decide_frame(enc)
+    if os.environ.get("THOR_TURBO_FINAL", "1") == "1":
+        # device finalization (all pixel numerics in one dispatch)
+        from .turbo_final import encode_frame_turbo_final
+        encode_frame_turbo_final(enc, dec)
+        return
     qp = fi.qp
     h, w = p.height, p.width
     sb = 1 << p.log2_sb_size

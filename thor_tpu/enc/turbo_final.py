@@ -1,0 +1,673 @@
+"""Device finalization for the turbo encoder: all pixel numerics on TPU.
+
+The round-2 turbo encoder decided on device but *finalized* on host -
+per-leaf prediction / transform / quantize / reconstruct in numpy inside
+the emission walk (enc/turbo.py:encode_frame_turbo), ~12 s/frame at
+1080p.  This module moves the entire finalization onto the device as one
+fused dispatch, mirroring the decoder's dense-plan design
+(dec/device_pixels.py, dec/device_frame.py):
+
+  pass 1 (host, no pixels): walk the decided quadtree in coding order,
+      derive the NORMATIVE elements that feed prediction - skip/merge
+      candidate lists (mapped onto the decided MVs), MVP, deblock-data
+      fills - and build the decoder-style dense MC plan grids plus
+      intra wave segments.
+  device (one dispatch): dense MC prediction for all inter/skip leaves,
+      per-size batched forward transform + adaptive-deadzone quantize
+      (ops/quant.py) of the residual plane, dense inverse path
+      (the decoder's own _dense_residual - encoder recon is decoder
+      recon by construction), then a wave-batched intra loop that
+      predicts from reconstructed neighbours, quantizes, reconstructs,
+      and applies CFL, exactly as the host encoder does sequentially
+      (enc/encode_block.c:1100-1338).
+  pass 2 (host, no pixels): syntax emission through the standard
+      writer (enc/writer.py:write_block) using the pulled coefficient
+      planes / cbp flags; contexts re-derived progressively from
+      deblock data like the reference (common/common_block.c:283).
+
+The bitstream remains fully compliant and the encoder reconstruction is
+byte-identical to our decoder's output on the produced stream (the
+round-trip tests assert this).  Reference anchors: process_block
+enc/encode_block.c:2401, encode_and_reconstruct_block_* :1100/:1275,
+write_block enc/write_bits.c:360.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..tables import CHROMA_QP, log2i
+from ..ops.transform import fwd_transform_batch
+from ..ops.quant import quantize_batch
+from ..ops import intra_batch as IB
+from ..dec import device_pixels as DP
+from ..dec.device_pixels import FramePlan, plan_block_mc
+from ..dec.device_frame import _cfl_j, build_wave_segments, LY_KEYS, \
+    CH_KEYS
+from ..spec import inter
+
+I32 = jnp.int32
+AP = 136
+LANES = 32
+SEG_BUCKETS = (4, 16, 64, 256, 1024, 4096)
+INTRA_SIZES = (8, 16, 32, 64)
+MODE_SKIP, MODE_INTRA, MODE_INTER = 0, 1, 2
+I_FRAME, P_FRAME, B_FRAME = 0, 1, 2
+
+
+def _bucket(n):
+    for b in SEG_BUCKETS:
+        if n <= b:
+            return b
+    raise ValueError(n)
+
+
+def _fast_inter(size: int, speed: int) -> bool:
+    """enc/encode_block.c:1298 (no tb-split leaf)."""
+    return (size == 64 and speed > 0) or speed > 1
+
+
+def _fast_intra(speed: int) -> bool:
+    """enc/encode_block.c:1124."""
+    return speed > 1
+
+
+# ---------------------------------------------------------------------------
+# dense forward path: residual plane -> quantized coefficient plane
+# ---------------------------------------------------------------------------
+
+def _coef_plane(res_pl, ls4, qp: int, is_i: bool, sizes, speed: int,
+                bd: int):
+    """Transform+quantize every coded TB of a plane with static shapes.
+
+    res_pl [hp,wp] int32 residual (org - pred, int16-wrapped range);
+    ls4 [hp/4,wp/4] log2-TB-size grid (0 = not coded here).  The plane
+    is tiled at every size and quantized; tiles whose ls4 matches are
+    scattered into the dense coefficient plane (the decoder's layout,
+    dec/device_pixels.py:FramePlan) - redundant FLOPs, zero dynamic
+    shapes, one compile."""
+    hp, wp = res_pl.shape
+    coefq = jnp.zeros((hp, wp), jnp.int16)
+    for s in sizes:
+        if s > hp or s > wp:
+            continue
+        qs = min(s, 16)
+        nh, nw = hp // s, wp // s
+        tiles = (res_pl.reshape(nh, s, nw, s).transpose(0, 2, 1, 3)
+                 .reshape(nh * nw, s, s))
+        co = fwd_transform_batch(tiles, s, _fast_inter(s, speed), bd)
+        cq, _ = quantize_batch(co.astype(jnp.int16), qp, s, int(is_i))
+        pl = jnp.zeros((nh, nw, s, s), jnp.int16)
+        pl = pl.at[:, :, :qs, :qs].set(cq.reshape(nh, nw, qs, qs))
+        pl = pl.transpose(0, 2, 1, 3).reshape(hp, wp)
+        m = ls4[::s // 4, ::s // 4] == log2i(s)
+        pm = jnp.repeat(jnp.repeat(m, s, 0), s, 1)
+        coefq = jnp.where(pm, pl, coefq)
+    return coefq
+
+
+# ---------------------------------------------------------------------------
+# intra wavefront: predict-from-recon + quantize + reconstruct + CFL
+# ---------------------------------------------------------------------------
+
+def _enc_intra_waves(y_pl, u_pl, v_pl, org_y, org_u, org_v, segs, segcls,
+                     qp: int, qpc: int, is_i: bool, speed: int, bd: int,
+                     cfl: bool, sizes):
+    """Encoder twin of dec/device_frame._intra_waves: each scan step
+    processes one wave segment (<=LANES independent same-size intra
+    blocks), running the full encode loop of enc/encode_block.c:1100 -
+    predict from reconstructed neighbours, residual, fwd transform,
+    quantize, inverse path, CFL-corrected chroma.  Emits the quantized
+    coefficients + cbp per lane as scan outputs."""
+    maxv = (1 << bd) - 1
+    WMAX = max(sizes)
+    WC = max(WMAX // 2, 4)
+    fast = _fast_intra(speed)
+
+    def _pred16(p):
+        return ((p.astype(jnp.int32) << 16) >> 16)
+
+    def _slices(plane, yy, xx, n: int):
+        def f(y, x):
+            return jax.lax.dynamic_slice(plane, (y, x), (n, n))
+        return jax.vmap(f)(yy, xx)
+
+    def _plane_enc(org_t, pred, n: int, q: int):
+        """org/pred [L,n,n] -> (cq [L,qs,qs] i16, cbp [L], rec [L,n,n])."""
+        res = ((org_t - pred).astype(jnp.int16)).astype(jnp.int32)
+        co = fwd_transform_batch(res, n, fast, bd)
+        cq, cbp = quantize_batch(co.astype(jnp.int16), q, n, int(is_i))
+        qvec = jnp.full((cq.shape[0],), q, jnp.int32)
+        rb = DP.residual_batch(cq.astype(jnp.int32), qvec, n, bd)
+        rec = jnp.clip(_pred16(pred) + rb, 0, maxv)
+        rec = jnp.where((cbp > 0)[:, None, None], rec,
+                        jnp.clip(_pred16(pred), 0, maxv))
+        return cq, cbp, rec
+
+    def make_case(n):
+        nc = n >> 1
+        qs, qsc = min(n, 16), min(nc, 16)
+
+        def case(y_pl, u_pl, v_pl, nd):
+            yy, xx = nd[:, 1], nd[:, 2]
+            mode = nd[:, 4]
+            ur, dl = nd[:, 5] > 0, nd[:, 6] > 0
+            L = yy.shape[0]
+            l, t, tl = IB.make_refs_batch(y_pl, yy, xx, n, ur, dl, bd)
+            preds = IB.predict_all_modes(l, t, tl, yy, xx, n, bd, 10)
+            pred = jnp.take_along_axis(
+                preds, mode[None, :, None, None], axis=0)[0]
+            cqy, cby, rec = _plane_enc(_slices(org_y, yy, xx, n), pred,
+                                       n, qp)
+            yc, xc = yy >> 1, xx >> 1
+            lu, tu, tlu = IB.make_refs_batch(u_pl, yc, xc, nc, ur, dl, bd)
+            pu = jnp.take_along_axis(
+                IB.predict_all_modes(lu, tu, tlu, yc, xc, nc, bd, 10),
+                mode[None, :, None, None], axis=0)[0]
+            lv, tv, tlv = IB.make_refs_batch(v_pl, yc, xc, nc, ur, dl, bd)
+            pv = jnp.take_along_axis(
+                IB.predict_all_modes(lv, tv, tlv, yc, xc, nc, bd, 10),
+                mode[None, :, None, None], axis=0)[0]
+            if cfl:
+                pu, pv = jax.vmap(
+                    lambda p_, u_, v_, r_: _cfl_j(p_, u_, v_, r_, n, bd))(
+                        pred, pu, pv, rec)
+            cqu, cbu, recu = _plane_enc(_slices(org_u, yc, xc, nc), pu,
+                                        nc, qpc)
+            cqv, cbv, recv = _plane_enc(_slices(org_v, yc, xc, nc), pv,
+                                        nc, qpc)
+            py = jnp.zeros((L, WMAX, WMAX), jnp.int32).at[
+                :, :n, :n].set(rec)
+            pu_ = jnp.zeros((L, WC, WC), jnp.int32).at[
+                :, :nc, :nc].set(recu)
+            pv_ = jnp.zeros((L, WC, WC), jnp.int32).at[
+                :, :nc, :nc].set(recv)
+            ocq = jnp.zeros((L, 16, 16), jnp.int16).at[
+                :, :qs, :qs].set(cqy)
+            ocu = jnp.zeros((L, 16, 16), jnp.int16).at[
+                :, :qsc, :qsc].set(cqu)
+            ocv = jnp.zeros((L, 16, 16), jnp.int16).at[
+                :, :qsc, :qsc].set(cqv)
+            cb3 = jnp.stack([cby, cbu, cbv], axis=1).astype(jnp.int32)
+            return py, pu_, pv_, ocq, ocu, ocv, cb3
+
+        return case
+
+    def zeros_case(y_pl, u_pl, v_pl, nd):
+        L = nd.shape[0]
+        return (jnp.zeros((L, WMAX, WMAX), jnp.int32),
+                jnp.zeros((L, WC, WC), jnp.int32),
+                jnp.zeros((L, WC, WC), jnp.int32),
+                jnp.zeros((L, 16, 16), jnp.int16),
+                jnp.zeros((L, 16, 16), jnp.int16),
+                jnp.zeros((L, 16, 16), jnp.int16),
+                jnp.zeros((L, 3), jnp.int32))
+
+    cases = [zeros_case] + [make_case(n) for n in sizes]
+
+    ii = jnp.arange(WMAX)[:, None]
+    jj = jnp.arange(WMAX)[None, :]
+    iic = jnp.arange(WC)[:, None]
+    jjc = jnp.arange(WC)[None, :]
+
+    def step(carry, xs):
+        y_pl, u_pl, v_pl = carry
+        nd, cls = xs
+        py, pu_, pv_, ocq, ocu, ocv, cb3 = jax.lax.switch(
+            cls, cases, y_pl, u_pl, v_pl, nd)
+        n = jnp.where(cls > 0, 8 << jnp.maximum(cls - 1, 0), 0)
+        nc = n >> 1
+        act = nd[:, 0]
+        ymask = (ii < n) & (jj < n)
+        cmask = (iic < nc) & (jjc < nc)
+
+        def write(i, pls):
+            y_pl, u_pl, v_pl = pls
+            yy, xx = nd[i, 1], nd[i, 2]
+            yc, xc = yy >> 1, xx >> 1
+            on = act[i] > 0
+            wy = jax.lax.dynamic_slice(y_pl, (yy, xx), (WMAX, WMAX))
+            wy = jnp.where(ymask & on, py[i], wy)
+            y_pl = jax.lax.dynamic_update_slice(y_pl, wy, (yy, xx))
+            wu = jax.lax.dynamic_slice(u_pl, (yc, xc), (WC, WC))
+            wu = jnp.where(cmask & on, pu_[i], wu)
+            u_pl = jax.lax.dynamic_update_slice(u_pl, wu, (yc, xc))
+            wv = jax.lax.dynamic_slice(v_pl, (yc, xc), (WC, WC))
+            wv = jnp.where(cmask & on, pv_[i], wv)
+            v_pl = jax.lax.dynamic_update_slice(v_pl, wv, (yc, xc))
+            return (y_pl, u_pl, v_pl)
+
+        carry = jax.lax.fori_loop(0, nd.shape[0], write,
+                                  (y_pl, u_pl, v_pl))
+        return carry, (ocq, ocu, ocv, cb3)
+
+    (y_pl, u_pl, v_pl), outs = jax.lax.scan(step, (y_pl, u_pl, v_pl),
+                                            (segs, segcls))
+    return y_pl, u_pl, v_pl, outs
+
+
+# ---------------------------------------------------------------------------
+# fused finalization kernel
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=(
+    "H", "W", "bd", "pad", "pad_c", "has_inter", "has_avg", "cfl",
+    "qp", "qpc", "is_i", "speed"))
+def finalize_core(org_y, org_u, org_v, ystack, ustack, vstack, gstack,
+                  cstack, q4y, q4c, segs, segcls, H: int, W: int,
+                  bd: int, pad: int, pad_c: int, has_inter: bool,
+                  has_avg: bool, cfl: bool, qp: int, qpc: int,
+                  is_i: bool, speed: int):
+    """One dispatch: MC pred + fwd quantize + recon + intra waves.
+
+    Returns (packed i16 [H+H/2+hp+hc, max(W,wp)] buffer holding rec_y,
+    rec_u|rec_v, coefq_y, coefq_u|coefq_v, and the intra coeff stacks).
+    """
+    gh, gw = H // 4, W // 4
+    H2, W2 = H // 2, W // 2
+    maxv = (1 << bd) - 1
+    hp, wp = q4y.shape[1] * 4, q4y.shape[2] * 4
+    hc, wc = q4c.shape[1] * 4, q4c.shape[2] * 4
+
+    # ---- inter MC + residual coding ----
+    if has_inter:
+        lg = {k: gstack[i] for i, k in enumerate(LY_KEYS)}
+        cg = {k: cstack[i] for i, k in enumerate(CH_KEYS)}
+        avg = cstack[10]
+        inter_m = cstack[11]
+        ys32 = ystack.astype(jnp.int32)
+        us32 = ustack.astype(jnp.int32)
+        vs32 = vstack.astype(jnp.int32)
+        p0 = DP.mc_cells_luma(ys32, lg["r0"], lg["y0_0"] + pad,
+                              lg["x0_0"] + pad, lg["op0"], lg["vf0"],
+                              lg["hf0"], lg["fs0"], 4, bd)
+        if has_avg:
+            p1 = DP.mc_cells_luma(ys32, lg["r1"], lg["y0_1"] + pad,
+                                  lg["x0_1"] + pad, lg["op1"], lg["vf1"],
+                                  lg["hf1"], lg["fs1"], 4, bd)
+            p0 = jnp.where(avg[:, None, None] == 1, (p0 + p1) >> 1, p0)
+        pred_y = p0.reshape(gh, gw, 4, 4).transpose(0, 2, 1, 3).reshape(
+            H, W)
+        pu0 = DP.mc_cells_chroma(us32, lg["r0"], cg["y0_0"] + pad_c,
+                                 cg["x0_0"] + pad_c, cg["op0"],
+                                 cg["vf0"], cg["hf0"], 2, bd)
+        pv0 = DP.mc_cells_chroma(vs32, lg["r0"], cg["y0_0"] + pad_c,
+                                 cg["x0_0"] + pad_c, cg["op0"],
+                                 cg["vf0"], cg["hf0"], 2, bd)
+        if has_avg:
+            pu1 = DP.mc_cells_chroma(us32, lg["r1"], cg["y0_1"] + pad_c,
+                                     cg["x0_1"] + pad_c, cg["op1"],
+                                     cg["vf1"], cg["hf1"], 2, bd)
+            pv1 = DP.mc_cells_chroma(vs32, lg["r1"], cg["y0_1"] + pad_c,
+                                     cg["x0_1"] + pad_c, cg["op1"],
+                                     cg["vf1"], cg["hf1"], 2, bd)
+            pu0 = jnp.where(avg[:, None, None] == 1, (pu0 + pu1) >> 1,
+                            pu0)
+            pv0 = jnp.where(avg[:, None, None] == 1, (pv0 + pv1) >> 1,
+                            pv0)
+        pred_u = pu0.reshape(gh, gw, 2, 2).transpose(0, 2, 1, 3).reshape(
+            H2, W2)
+        pred_v = pv0.reshape(gh, gw, 2, 2).transpose(0, 2, 1, 3).reshape(
+            H2, W2)
+
+        # residual planes, padded to the dense-coef geometry
+        ry = jnp.zeros((hp, wp), jnp.int32).at[:H, :W].set(org_y - pred_y)
+        ru = jnp.zeros((hc, wc), jnp.int32).at[:H2, :W2].set(
+            org_u - pred_u)
+        rv = jnp.zeros((hc, wc), jnp.int32).at[:H2, :W2].set(
+            org_v - pred_v)
+        coefq_y = _coef_plane(ry, q4y[1], qp, is_i, (8, 16, 32, 64, 128),
+                              speed, bd)
+        coefq_u = _coef_plane(ru, q4c[1], qpc, is_i, (4, 8, 16, 32, 64),
+                              speed, bd)
+        coefq_v = _coef_plane(rv, q4c[1], qpc, is_i, (4, 8, 16, 32, 64),
+                              speed, bd)
+
+        # decoder-exact inverse path over the quantized planes
+        res_y = DP._dense_residual(coefq_y, q4y[0], q4y[1], bd,
+                                   (4, 8, 16, 32, 64, 128))[:H, :W]
+        res_u = DP._dense_residual(coefq_u, q4c[0], q4c[1], bd,
+                                   (4, 8, 16, 32, 64))[:H2, :W2]
+        res_v = DP._dense_residual(coefq_v, q4c[0], q4c[1], bd,
+                                   (4, 8, 16, 32, 64))[:H2, :W2]
+
+        def recon(pred, res):
+            return jnp.clip(((pred << 16) >> 16) + res, 0, maxv)
+
+        im_y = jnp.repeat(jnp.repeat(
+            inter_m.reshape(gh, gw) == 1, 4, 0), 4, 1)
+        im_c = jnp.repeat(jnp.repeat(
+            inter_m.reshape(gh, gw) == 1, 2, 0), 2, 1)
+        base_y = jnp.where(im_y, recon(pred_y, res_y), 0)
+        base_u = jnp.where(im_c, recon(pred_u, res_u), 0)
+        base_v = jnp.where(im_c, recon(pred_v, res_v), 0)
+    else:
+        coefq_y = jnp.zeros((hp, wp), jnp.int16)
+        coefq_u = jnp.zeros((hc, wc), jnp.int16)
+        coefq_v = jnp.zeros((hc, wc), jnp.int16)
+        base_y = jnp.zeros((H, W), jnp.int32)
+        base_u = jnp.zeros((H2, W2), jnp.int32)
+        base_v = jnp.zeros((H2, W2), jnp.int32)
+
+    # ---- intra waves over apron-extended planes ----
+    y_pl = jnp.zeros((H + AP, W + AP), jnp.int32).at[:H, :W].set(base_y)
+    u_pl = jnp.zeros((H2 + AP, W2 + AP), jnp.int32).at[:H2, :W2].set(
+        base_u)
+    v_pl = jnp.zeros((H2 + AP, W2 + AP), jnp.int32).at[:H2, :W2].set(
+        base_v)
+    oyp = jnp.zeros((H + AP, W + AP), jnp.int32).at[:H, :W].set(org_y)
+    oup = jnp.zeros((H2 + AP, W2 + AP), jnp.int32).at[:H2, :W2].set(
+        org_u)
+    ovp = jnp.zeros((H2 + AP, W2 + AP), jnp.int32).at[:H2, :W2].set(
+        org_v)
+    sizes = tuple(s for s in INTRA_SIZES if s <= min(H, W))
+    y_pl, u_pl, v_pl, (icq_y, icq_u, icq_v, icb) = _enc_intra_waves(
+        y_pl, u_pl, v_pl, oyp, oup, ovp, segs, segcls, qp, qpc, is_i,
+        speed, bd, cfl, sizes)
+    rec_y = y_pl[:H, :W].astype(jnp.int16)
+    rec_u = u_pl[:H2, :W2].astype(jnp.int16)
+    rec_v = v_pl[:H2, :W2].astype(jnp.int16)
+    return (rec_y, jnp.concatenate([rec_u, rec_v], axis=1),
+            coefq_y, jnp.concatenate([coefq_u, coefq_v], axis=1),
+            icq_y, icq_u, icq_v, icb)
+
+
+# ---------------------------------------------------------------------------
+# pass 1: host planning walk (no pixel math)
+# ---------------------------------------------------------------------------
+
+class _HView:
+    """Header-ish adapter so dec/device_pixels.plan_block_mc can read
+    the encoder's sequence parameters."""
+
+    def __init__(self, p):
+        self.interp_ref = p.interp_ref
+        self.bipred = p.enable_bipred
+        self.pb_split = p.enable_pb_split
+
+
+class _DecView:
+    """Decoder-shaped adapter over the encoder for plan_block_mc."""
+
+    def __init__(self, enc):
+        self.h = _HView(enc.params)
+        self.fi = enc.fi
+        self.rec = enc.rec
+        self.stat_frame_type = enc.fi.frame_type
+        self.width, self.height = enc.width, enc.height
+        self.interp_frames = []
+        self._enc = enc
+
+    def _ref_frame(self, r):
+        return self._enc._ref_frame(r)
+
+
+def plan_frame(enc, dec):
+    """Coding-order walk over the decided tree: derive normative
+    candidates/MVP, fill deblock data (mode/mv geometry now; cbp in
+    pass 2), build MC plan grids + intra wave segments.
+
+    Returns (nodes, plan, intra_list) where nodes is the coding-order
+    list of ('split', size, y, x) / ('leaf', leaf-dict) entries."""
+    from .encoder import BlockInfo, SQUARED_LAMBDA_QP
+
+    p = enc.params
+    fi = enc.fi
+    qp = fi.qp
+    h, w = p.height, p.width
+    sb = 1 << p.log2_sb_size
+    is_p = fi.frame_type != I_FRAME
+    view = _DecView(enc)
+    if is_p:
+        ref_slots = {r: i for i, r in enumerate(fi.ref_array)}
+    plan = FramePlan(w, h)
+    nodes = []
+    intra_list = []
+
+    def walk(size, ypos, xpos):
+        if ypos + 8 > h or xpos + 8 > w:
+            return
+        encode_this = ypos + size <= h and xpos + size <= w
+        ch = dec["choice"][size][ypos // size, xpos // size] \
+            if encode_this else 3
+        if ch == 3 and size > 8:
+            nodes.append(("split", size, ypos, xpos))
+            ns = size // 2
+            walk(ns, ypos, xpos)
+            walk(ns, ypos + ns, xpos)
+            walk(ns, ypos, xpos + ns)
+            walk(ns, ypos + ns, xpos + ns)
+            return
+
+        bi = BlockInfo()
+        bi.size = size
+        bi.ypos, bi.xpos = ypos, xpos
+        bi.bwidth = min(size, w - xpos)
+        bi.bheight = min(size, h - ypos)
+        bi.sub = enc.sub
+        bi.qp = qp
+        bi.delta_qp = 0
+        bi.max_num_tb_part = 1
+        bi.max_num_pb_part = 1
+        bi.lambda_ = fi.lambda_coeff * SQUARED_LAMBDA_QP[qp]
+        bi.best = None
+        bi.mvp = (0, 0)
+        bi.final_encode = 0
+
+        if is_p:
+            bi.skip_candidates = inter.get_mv_skip(
+                ypos, xpos, w, h, size, size, sb, enc.dd)
+            bi.num_skip_vec = len(bi.skip_candidates)
+            bi.merge_candidates = inter.get_mv_merge(
+                ypos, xpos, w, h, size, size, sb, enc.dd)
+            bi.num_merge_vec = len(bi.merge_candidates)
+        else:
+            bi.skip_candidates = []
+            bi.merge_candidates = []
+            bi.num_skip_vec = bi.num_merge_vec = 0
+
+        gi = (ypos // size, xpos // size)
+        mvs, mvc, imode = dec["meta"][size]
+        flat = gi[0] * (dec["W"] // size) + gi[1]
+
+        if ch == 2 or not is_p:
+            bp = {"mode": MODE_INTRA, "tb_param": 0, "tb_split": 0,
+                  "pb_part": 0, "intra_mode": int(imode[flat]),
+                  "ref_idx0": 0, "ref_idx1": 0, "dir": -1, "skip_idx": 0,
+                  "mv_arr0": [(0, 0)] * 4, "mv_arr1": [(0, 0)] * 4}
+            intra_list.append((ypos, xpos, size, int(imode[flat])))
+        elif ch == 0:
+            want = (int(mvs[flat, 0]), int(mvs[flat, 1]))
+            bidx = 0
+            bdist = 1 << 30
+            for i, c in enumerate(bi.skip_candidates):
+                d = abs(c[0] - want[0]) + abs(c[1] - want[1])
+                if d < bdist:
+                    bdist = d
+                    bidx = i
+            c = bi.skip_candidates[bidx]
+            bp = {"mode": MODE_SKIP, "tb_param": 0, "tb_split": 0,
+                  "pb_part": 0, "skip_idx": bidx, "ref_idx0": c[4],
+                  "ref_idx1": c[5], "mv_arr0": [(c[0], c[1])] * 4,
+                  "mv_arr1": [(c[2], c[3])] * 4, "dir": c[6]}
+        else:
+            mv = (int(mvc[flat, 0]), int(mvc[flat, 1]))
+            bi.mvp = inter.get_mv_pred(ypos, xpos, w, h, size, size, sb,
+                                       enc.dd)
+            bp = {"mode": MODE_INTER, "tb_param": 0, "tb_split": 0,
+                  "pb_part": 0, "ref_idx0": 0, "ref_idx1": 0,
+                  "mv_arr0": [mv] * 4, "mv_arr1": [mv] * 4, "dir": 0,
+                  "skip_idx": 0}
+        bi.best = bp
+
+        if bp["mode"] in (MODE_SKIP, MODE_INTER):
+            plan_block_mc(plan, view, bp, size, ypos, xpos, size, size,
+                          ref_slots)
+        if bp["mode"] == MODE_INTER:
+            # mark coded TBs for the dense fwd/inverse passes
+            qpc = int(CHROMA_QP[qp])
+            sC = size >> 1
+            yC, xC = ypos >> 1, xpos >> 1
+            plan.qp4["y"][ypos // 4:(ypos + size) // 4,
+                          xpos // 4:(xpos + size) // 4] = qp
+            plan.ls4["y"][ypos // 4:(ypos + size) // 4,
+                          xpos // 4:(xpos + size) // 4] = log2i(size)
+            plan.qp4["c"][yC // 4:(yC + sC) // 4,
+                          xC // 4:(xC + sC) // 4] = qpc
+            plan.ls4["c"][yC // 4:(yC + sC) // 4,
+                          xC // 4:(xC + sC) // 4] = log2i(sC)
+
+        # geometry/mv deblock fill so later candidate derivation sees
+        # the coded state (cbp corrected in pass 2)
+        bp["cbp"] = (0, 0, 0)
+        enc._copy_deblock(bi)
+        nodes.append(("leaf", bi))
+
+    nsh = (w + sb - 1) // sb
+    nsv = (h + sb - 1) // sb
+    for k in range(nsv):
+        for sl in range(nsh):
+            walk(sb, k * sb, sl * sb)
+    return nodes, plan, intra_list
+
+
+# ---------------------------------------------------------------------------
+# pass 2: host syntax emission (no pixel math)
+# ---------------------------------------------------------------------------
+
+def emit_nodes(enc, nodes, coefq, icoef, ipos):
+    """Write the frame syntax using the device-computed coefficients.
+
+    coefq: dict plane -> dense quantized-coeff plane (np int16).
+    icoef: dict with 'y'/'u'/'v' [S,L,16,16] + 'cb' [S,L,3] intra
+    stacks; ipos maps (ypos,xpos) -> (si, li)."""
+    from . import writer as W
+
+    for nd in nodes:
+        if nd[0] == "split":
+            _, size, ypos, xpos = nd
+            bi_s = _SplitBI(enc, size, ypos, xpos)
+            W.write_super_mode(enc.writer, enc, bi_s, MODE_SKIP, 0, 1,
+                              bi_s.encode_this)
+            continue
+        bi = nd[1]
+        bp = bi.best
+        size = bi.size
+        ypos, xpos = bi.ypos, bi.xpos
+        bi.ctx_split, bi.ctx_cbp, bi.ctx_index = \
+            enc._find_block_context(ypos, xpos, size)
+        mode = bp["mode"]
+        if mode == MODE_SKIP:
+            bp["cbp"] = (0, 0, 0)
+        elif mode == MODE_INTRA:
+            si, li = ipos[(ypos, xpos)]
+            qs = min(size, 16)
+            qsc = min(size >> 1, 16)
+            bp["coeff_y"] = icoef["y"][si, li, :qs, :qs]
+            bp["coeff_u"] = icoef["u"][si, li, :qsc, :qsc]
+            bp["coeff_v"] = icoef["v"][si, li, :qsc, :qsc]
+            cb = icoef["cb"][si, li]
+            bp["cbp"] = (int(cb[0]), int(cb[1]), int(cb[2]))
+        else:
+            qs = min(size, 16)
+            sC = size >> 1
+            qsc = min(sC, 16)
+            yC, xC = ypos >> 1, xpos >> 1
+            cy = coefq["y"][ypos:ypos + qs, xpos:xpos + qs]
+            cu = coefq["u"][yC:yC + qsc, xC:xC + qsc]
+            cv = coefq["v"][yC:yC + qsc, xC:xC + qsc]
+            bp["coeff_y"], bp["coeff_u"], bp["coeff_v"] = cy, cu, cv
+            bp["cbp"] = (int(cy.any()), int(cu.any()), int(cv.any()))
+        W.write_block(enc.writer, enc, bi, bp)
+        enc._copy_deblock(bi)
+
+
+class _SplitBI:
+    def __init__(self, enc, size, ypos, xpos):
+        self.size = size
+        self.ypos, self.xpos = ypos, xpos
+        self.encode_this = (ypos + size <= enc.height and
+                            xpos + size <= enc.width)
+        self.ctx_split, self.ctx_cbp, self.ctx_index = \
+            enc._find_block_context(ypos, xpos, size)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def encode_frame_turbo_final(enc, dec):
+    """Device finalization + host emission for one decided frame."""
+    p = enc.params
+    fi = enc.fi
+    h, w = p.height, p.width
+    qp = fi.qp
+    qpc = int(CHROMA_QP[qp])
+    is_p = fi.frame_type != I_FRAME
+    bd = p.bitdepth
+
+    nodes, plan, intra_list = plan_frame(enc, dec)
+
+    # intra wave segments
+    sizes = tuple(s for s in INTRA_SIZES if s <= min(h, w))
+    recs = np.array([(y, x, s) for (y, x, s, _m) in intra_list],
+                    np.int32).reshape(-1, 3)
+    seg_list = build_wave_segments(recs, h, w, sizes, lanes=LANES)
+    scap = _bucket(max(len(seg_list), 1))
+    segs = np.zeros((scap, LANES, 7), np.int32)
+    segcls = np.zeros(scap, np.int32)
+    sb = 1 << p.log2_sb_size
+    ipos = {}
+    for si, (cls, idx) in enumerate(seg_list):
+        segcls[si] = cls
+        for li, ri in enumerate(idx):
+            y, x, size, im = intra_list[ri]
+            ur = inter.get_upright_available(y, x, size, size, w, h, sb)
+            dl = inter.get_downleft_available(y, x, size, size, w, h, sb)
+            segs[si, li] = (1, y, x, log2i(size), im, ur, dl)
+            ipos[(y, x)] = (si, li)
+
+    has_inter = is_p and bool(plan.inter.any())
+    if has_inter:
+        ref_frames = [enc._ref_frame(r) for r in fi.ref_array]
+        ystack = np.stack([r.y_full for r in ref_frames]).astype(np.int16)
+        ustack = np.stack([r.u_full for r in ref_frames]).astype(np.int16)
+        vstack = np.stack([r.v_full for r in ref_frames]).astype(np.int16)
+        pad, pad_c = ref_frames[0].pad, ref_frames[0].pad_c
+    else:
+        ystack = np.zeros((1, 1, 1), np.int16)
+        ustack = vstack = ystack
+        pad = pad_c = 0
+
+    gstack = np.stack([plan.ly[k].reshape(-1) for k in LY_KEYS])
+    cstack = np.stack([plan.ch[k].reshape(-1) for k in CH_KEYS] +
+                      [plan.avg.reshape(-1), plan.inter.reshape(-1)])
+    q4y = np.stack([plan.qp4["y"], plan.ls4["y"]])
+    q4c = np.stack([plan.qp4["c"], plan.ls4["c"]])
+
+    with jax.enable_x64():
+        outs = finalize_core(
+            jnp.asarray(enc.orig.y.astype(np.int32)),
+            jnp.asarray(enc.orig.u.astype(np.int32)),
+            jnp.asarray(enc.orig.v.astype(np.int32)),
+            jnp.asarray(ystack), jnp.asarray(ustack), jnp.asarray(vstack),
+            jnp.asarray(gstack), jnp.asarray(cstack), jnp.asarray(q4y),
+            jnp.asarray(q4c), jnp.asarray(segs), jnp.asarray(segcls),
+            H=h, W=w, bd=bd, pad=pad, pad_c=pad_c, has_inter=has_inter,
+            has_avg=bool(plan.avg.any()), cfl=bool(p.cfl_intra), qp=qp,
+            qpc=qpc, is_i=not is_p, speed=p.encoder_speed)
+    rec_y, rec_uv, cq_y, cq_uv, icq_y, icq_u, icq_v, icb = \
+        [np.asarray(o) for o in outs]
+
+    H2, W2 = h // 2, w // 2
+    enc.rec.y[:, :] = rec_y.astype(enc.rec.dtype)
+    enc.rec.u[:, :] = rec_uv[:, :W2].astype(enc.rec.dtype)
+    enc.rec.v[:, :] = rec_uv[:, W2:].astype(enc.rec.dtype)
+
+    wc = cq_uv.shape[1] // 2
+    coefq = {"y": cq_y, "u": cq_uv[:, :wc], "v": cq_uv[:, wc:]}
+    icoef = {"y": icq_y, "u": icq_u, "v": icq_v, "cb": icb}
+    emit_nodes(enc, nodes, coefq, icoef, ipos)
