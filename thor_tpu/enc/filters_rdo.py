@@ -122,6 +122,14 @@ def cdef_search(enc, rec, org, dd):
         enc.cdef_sel = sel
         return 0
 
+    if (_device_ok() and width % 16 == 0 and height % 16 == 0 and
+            p.subsample in (420, 444)):
+        mse0, mse1, ci_index = _cdef_mse_device(
+            enc, rec, org, dd, speed, total, pri_damping, sec_damping,
+            coeff_shift, nfh, nfv)
+        return _cdef_pick_and_emit(enc, mse0, mse1, ci_index, speed,
+                                   nfh, nfv)
+
     planes = [(rec.y, org.y, 0, 0), (rec.u, org.u, 1, rec.sub),
               (rec.v, org.v, 2, rec.sub)]
 
@@ -217,6 +225,117 @@ def cdef_search(enc, rec, org, dd):
             mse0.append(row0)
             mse1.append(row1)
             ci_index.append(ci)
+    return _cdef_pick_and_emit(enc, mse0, mse1, ci_index, speed, nfh, nfv)
+
+
+def _cdef_mse_device(enc, rec, org, dd, speed, total, pri_damping,
+                     sec_damping, coeff_shift, nfh, nfv):
+    """Device mse tables for the CDEF strength search.
+
+    All candidate strengths are trial-filtered on device
+    (ops/filters.py:cdef_search_sums - whole-plane passes, lax.map over
+    the candidate list) and reduced to per-8x8-block sums; the host only
+    assembles the per-fb tables and evaluates the float dist_8x8
+    formula vectorised.  Bit-exact with the per-block host loop
+    (enc/encode_frame.c:228-419): the frame-interior fb windows admit
+    every in-frame tap, so padding the frame once with CDEF_VERY_LARGE
+    reproduces the reference's per-fb prepared buffers."""
+    import jax.numpy as jnp
+    from ..ops import filters as OF
+
+    width, height = rec.width, rec.height
+    sub = rec.sub
+    nby, nbx = height // 8, width // 8
+    levels = jnp.asarray(
+        np.array([PRICONV[speed][gi // CDEF_SEC_STRENGTHS]
+                  for gi in range(total)], np.int32))
+    secs = jnp.asarray(
+        np.array([gi % CDEF_SEC_STRENGTHS for gi in range(total)],
+                 np.int32))
+
+    ry = jnp.asarray(rec.y.astype(np.int32))
+    dirs_j, var_j = OF.cdef_dirs(ry, coeff_shift)
+    ls = OF.cdef_search_sums(ry, jnp.asarray(org.y.astype(np.int32)),
+                             dirs_j, var_j, levels, secs, 0, 8,
+                             pri_damping, sec_damping, coeff_shift)
+    # chroma 8x8 blocks use the luma dir computed at the SAME (m,n)
+    # block index within the fb (the reference's indexing quirk,
+    # enc/encode_frame.c:312)
+    hc, wc = height >> sub, width >> sub
+    nbyc, nbxc = hc // 8, wc // 8
+    npb = 8 >> sub
+    iy = (np.arange(nbyc) // npb) * 8 + np.arange(nbyc) % npb
+    ix = (np.arange(nbxc) // npb) * 8 + np.arange(nbxc) % npb
+    dirc = dirs_j[jnp.asarray(iy)[:, None], jnp.asarray(ix)[None, :]]
+    varc = var_j[jnp.asarray(iy)[:, None], jnp.asarray(ix)[None, :]]
+    cs_u = OF.cdef_search_sums(
+        jnp.asarray(rec.u.astype(np.int32)),
+        jnp.asarray(org.u.astype(np.int32)), dirc, varc, levels, secs,
+        1, 8, pri_damping - 1, sec_damping - 1, coeff_shift)
+    cs_v = OF.cdef_search_sums(
+        jnp.asarray(rec.v.astype(np.int32)),
+        jnp.asarray(org.v.astype(np.int32)), dirc, varc, levels, secs,
+        1, 8, pri_damping - 1, sec_damping - 1, coeff_shift)
+
+    lsums = np.asarray(ls)                       # [G,3,nby,nbx]
+    ssd_c = np.asarray(cs_u) + np.asarray(cs_v)  # [G,nbyc,nbxc]
+    dirs_np = np.asarray(dirs_j)
+    var_np = np.asarray(var_j)
+
+    # vectorised dist_8x8 (enc/encode_frame.c:194-221); all luma blocks
+    # are full 8x8 under the width/height%16==0 gate
+    oy = org.y.astype(np.int64).reshape(nby, 8, nbx, 8)
+    sum_s = oy.sum(axis=(1, 3))
+    sum_s2 = (oy * oy).sum(axis=(1, 3))
+    sum_d, sum_d2, sum_sd = lsums[:, 0], lsums[:, 1], lsums[:, 2]
+    svar = sum_s2 - ((sum_s * sum_s + 32) >> 6)
+    dvar = sum_d2 - ((sum_d * sum_d + 32) >> 6)
+    num = sum_d2 + sum_s2[None] - 2 * sum_sd
+    dist = np.floor(
+        .5 + num * .5 * (svar[None] + dvar + (400 << 2 * coeff_shift)) /
+        np.sqrt((20000 << 4 * coeff_shift) +
+                svar[None].astype(np.float64) * dvar.astype(np.float64))
+    ).astype(np.int64)
+
+    mode_grid = np.asarray(dd.mode).reshape(height // 4, width // 4)
+    skipb = mode_grid[::2, ::2] == 0             # [nby,nbx] MODE_SKIP
+    selb = ~skipb
+    selc = selb[iy][:, ix]
+
+    mse0, mse1, ci_index = [], [], []
+    ci = -1
+    for k in range(nfv):
+        for l in range(nfh):
+            ci += 1
+            r0, r1 = k * 8, min((k + 1) * 8, nby)
+            c0, c1 = l * 8, min((l + 1) * 8, nbx)
+            sel = selb[r0:r1, c0:c1]
+            if not sel.any():
+                continue
+            row0 = [0] * TOTAL_STRENGTHS
+            row1 = [0] * TOTAL_STRENGTHS
+            blk0 = (dist[:, r0:r1, c0:c1] * sel).sum(axis=(1, 2))
+            rc0, rc1 = k * npb, min((k + 1) * npb, nbyc)
+            cc0, cc1 = l * npb, min((l + 1) * npb, nbxc)
+            blk1 = (ssd_c[:, rc0:rc1, cc0:cc1] *
+                    selc[rc0:rc1, cc0:cc1]).sum(axis=(1, 2))
+            for gi in range(total):
+                row0[gi] = int(blk0[gi])
+                row1[gi] = int(blk1[gi])
+            mse0.append(row0)
+            mse1.append(row1)
+            ci_index.append(ci)
+            enc.cdef_dirs[ci] = {
+                (m, n): (int(dirs_np[r0 + m, c0 + n]),
+                         int(var_np[r0 + m, c0 + n]))
+                for m in range(r1 - r0) for n in range(c1 - c0)}
+    return mse0, mse1, ci_index
+
+
+def _cdef_pick_and_emit(enc, mse0, mse1, ci_index, speed, nfh, nfv):
+    """Joint strength search + per-fb preset assignment/emission
+    (enc/encode_frame.c:398-489) from the mse tables."""
+    p = enc.params
     sb_count = len(ci_index)
 
     strengths = [0] * 8

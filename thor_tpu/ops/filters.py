@@ -489,6 +489,43 @@ def cdef_plane(src: jax.Array, dirs: jax.Array, var: jax.Array,
     return jnp.where(mask, out, s)
 
 
+@partial(jax.jit, static_argnames=("plane", "bs", "pri_damping",
+                                   "sec_damping", "coeff_shift"))
+def cdef_search_sums(src, org, dirs, var, levels, secs, plane: int,
+                     bs: int, pri_damping: int, sec_damping: int,
+                     coeff_shift: int):
+    """Per-strength-candidate CDEF trial sums for the encoder search
+    (enc/encode_frame.c:228-419): filter the whole plane once per
+    candidate (lax.map over the strength list) and reduce to per-block
+    sums, so the host only assembles the tiny mse tables.
+
+    src/org: [ph,pw] (ph,pw multiples of bs); dirs/var: per-block grids
+    [ph/bs, pw/bs]; levels/secs: [G] int32 candidate strengths.
+    Returns luma: [G, 3, nby, nbx] int64 (sum_d, sum_d^2, sum_d*s);
+    chroma: [G, nby, nbx] int64 SSD."""
+    ph, pw = src.shape
+    nby, nbx = ph // bs, pw // bs
+    ones = jnp.ones((ph, pw), bool)
+    o64 = org.astype(jnp.int64)
+
+    def bsum(a):
+        return a.reshape(nby, bs, nbx, bs).sum(axis=(1, 3))
+
+    def body(ls):
+        lvl_s, sec_s = ls
+        lvl = jnp.full(dirs.shape, lvl_s, jnp.int32)
+        sec = jnp.full(dirs.shape, sec_s, jnp.int32)
+        out = cdef_plane(src, dirs, var, lvl, sec, ones, bs, plane,
+                         pri_damping, sec_damping,
+                         coeff_shift).astype(jnp.int64)
+        if plane == 0:
+            return jnp.stack([bsum(out), bsum(out * out), bsum(out * o64)])
+        d = out - o64
+        return bsum(d * d)
+
+    return jax.lax.map(body, (levels, secs))
+
+
 def cdef_block_maps(dd, presets_per_fb, width_l, height_l, plane, sub):
     """Host: per-block level/sec_strength maps + application mask for one
     plane (frame drive common_frame.c:826-1002).  Block grid is the luma
