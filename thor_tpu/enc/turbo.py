@@ -395,6 +395,28 @@ def eval_intra(orgp, org, lam, qp: int, H: int, W: int, s: int, bd: int):
 SIZES = (8, 16, 32, 64, 128)
 
 
+@partial(jax.jit, static_argnames=("H", "W"))
+def _stage_org(org_u8, H: int, W: int):
+    """Zero-pad the native-dtype original to the decision geometry and
+    widen on device (cheap VPU work; saves 4x on tunnel upload)."""
+    H0, W0 = org_u8.shape
+    o = org_u8.astype(jnp.int32)
+    orgj = jnp.zeros((H, W), jnp.int32).at[:H0, :W0].set(o)
+    orgpj = jnp.zeros((H + 130, W + 130), jnp.int32).at[:H0, :W0].set(o)
+    return orgj, orgpj
+
+
+@partial(jax.jit, static_argnames=("H", "W"))
+def _stage_ref(ref_i16, H: int, W: int):
+    """Edge-extend the padded reference plane to the decision geometry
+    on device (replaces a host repad + int32 upload)."""
+    sh, sw = ref_i16.shape
+    r = ref_i16.astype(jnp.int32)
+    if (H + 320, W + 320) == (sh, sw):
+        return r
+    return jnp.pad(r, ((0, H + 320 - sh), (0, W + 320 - sw)), mode="edge")
+
+
 def decide_frame(enc):
     """Run the batched decision pass; returns per-size numpy decision
     grids + the final leaf map."""
@@ -408,29 +430,19 @@ def decide_frame(enc):
     W = ((W0 + 127) // 128) * 128
     bd = 8
 
-    org = np.zeros((H, W), np.int32)
-    org[:H0, :W0] = enc.orig.y
-    orgj = jnp.asarray(org)
-    # padded org for intra reference reads (needs H+s+1 extent)
-    orgp = np.zeros((H + 130, W + 130), np.int32)
-    orgp[:H0, :W0] = enc.orig.y
-    orgpj = jnp.asarray(orgp)
+    # upload the original at its native 8-bit dtype (tunnel uploads are
+    # the dominant decide cost at 1080p); zero-pad + widen on device
+    orgj, orgpj = _stage_org(jnp.asarray(np.ascontiguousarray(enc.orig.y)),
+                             H, W)
 
     is_i = fi.frame_type == I_FRAME
     out = {"qp": qp}
 
     if not is_i:
         ref = enc._ref_frame(fi.ref_array[0])
-        reff = jnp.asarray(ref.y_full.astype(np.int32))
-        # the ref plane is padded PADDING_Y around (H0, W0); re-pad to
-        # the padded decision geometry by extending bottom/right
-        if H != H0 or W != W0:
-            rf = np.zeros((H + 320, W + 320), np.int32)
-            src = ref.y_full.astype(np.int32)
-            rf[:src.shape[0], :src.shape[1]] = src
-            rf[src.shape[0]:, :src.shape[1]] = src[-1:]
-            rf[:, src.shape[1]:] = rf[:, src.shape[1] - 1:src.shape[1]]
-            reff = jnp.asarray(rf)
+        # native int16 upload; edge-extend to the padded decision
+        # geometry on device
+        reff = _stage_ref(jnp.asarray(ref.y_full.astype(np.int16)), H, W)
         orgh = scale2(orgj)
         refh = scale2(reff)
         mv_h = prepass_half(orgh, refh, H // 2, W // 2)

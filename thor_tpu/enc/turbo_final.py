@@ -271,6 +271,11 @@ def finalize_core(org_y, org_u, org_v, ystack, ustack, vstack, gstack,
     maxv = (1 << bd) - 1
     hp, wp = q4y.shape[1] * 4, q4y.shape[2] * 4
     hc, wc = q4c.shape[1] * 4, q4c.shape[2] * 4
+    # originals arrive at their native (narrow) dtype to keep the
+    # host->device transfer small; widen on device
+    org_y = org_y.astype(jnp.int32)
+    org_u = org_u.astype(jnp.int32)
+    org_v = org_v.astype(jnp.int32)
 
     # ---- inter MC + residual coding ----
     if has_inter:
@@ -368,11 +373,18 @@ def finalize_core(org_y, org_u, org_v, ystack, ustack, vstack, gstack,
         y_pl, u_pl, v_pl, oyp, oup, ovp, segs, segcls, qp, qpc, is_i,
         speed, bd, cfl, sizes)
     rec_y = y_pl[:H, :W].astype(jnp.int16)
-    rec_u = u_pl[:H2, :W2].astype(jnp.int16)
-    rec_v = v_pl[:H2, :W2].astype(jnp.int16)
-    return (rec_y, jnp.concatenate([rec_u, rec_v], axis=1),
-            coefq_y, jnp.concatenate([coefq_u, coefq_v], axis=1),
-            icq_y, icq_u, icq_v, icb)
+    rec_uv = jnp.concatenate([u_pl[:H2, :W2], v_pl[:H2, :W2]],
+                             axis=1).astype(jnp.int16)
+    # one packed i16 buffer for all plane outputs (2wc == wp always:
+    # both are 2*ceil(W/2 /64)*64), so the tunnel pays one pull
+    def row_pad(a):
+        return jnp.zeros((a.shape[0], wp), jnp.int16).at[
+            :, :a.shape[1]].set(a)
+
+    packed = jnp.concatenate(
+        [row_pad(rec_y), row_pad(rec_uv), coefq_y,
+         jnp.concatenate([coefq_u, coefq_v], axis=1)], axis=0)
+    return packed, jnp.stack([icq_y, icq_u, icq_v]), icb
 
 
 # ---------------------------------------------------------------------------
@@ -601,6 +613,18 @@ class _SplitBI:
 
 def encode_frame_turbo_final(enc, dec):
     """Device finalization + host emission for one decided frame."""
+    import os
+    import time
+    prof = os.environ.get("THOR_TF_PROF") == "1"
+    t0 = time.time()
+
+    def tick(label):
+        nonlocal t0
+        if prof:
+            t1 = time.time()
+            print("  tf.%s: %.3fs" % (label, t1 - t0), flush=True)
+            t0 = t1
+
     p = enc.params
     fi = enc.fi
     h, w = p.height, p.width
@@ -610,6 +634,7 @@ def encode_frame_turbo_final(enc, dec):
     bd = p.bitdepth
 
     nodes, plan, intra_list = plan_frame(enc, dec)
+    tick("plan")
 
     # intra wave segments
     sizes = tuple(s for s in INTRA_SIZES if s <= min(h, w))
@@ -629,6 +654,7 @@ def encode_frame_turbo_final(enc, dec):
             dl = inter.get_downleft_available(y, x, size, size, w, h, sb)
             segs[si, li] = (1, y, x, log2i(size), im, ur, dl)
             ipos[(y, x)] = (si, li)
+    tick("segs")
 
     has_inter = is_p and bool(plan.inter.any())
     if has_inter:
@@ -648,21 +674,31 @@ def encode_frame_turbo_final(enc, dec):
     q4y = np.stack([plan.qp4["y"], plan.ls4["y"]])
     q4c = np.stack([plan.qp4["c"], plan.ls4["c"]])
 
+    tick("stage_inputs")
     with jax.enable_x64():
         outs = finalize_core(
-            jnp.asarray(enc.orig.y.astype(np.int32)),
-            jnp.asarray(enc.orig.u.astype(np.int32)),
-            jnp.asarray(enc.orig.v.astype(np.int32)),
+            jnp.asarray(np.ascontiguousarray(enc.orig.y)),
+            jnp.asarray(np.ascontiguousarray(enc.orig.u)),
+            jnp.asarray(np.ascontiguousarray(enc.orig.v)),
             jnp.asarray(ystack), jnp.asarray(ustack), jnp.asarray(vstack),
             jnp.asarray(gstack), jnp.asarray(cstack), jnp.asarray(q4y),
             jnp.asarray(q4c), jnp.asarray(segs), jnp.asarray(segcls),
             H=h, W=w, bd=bd, pad=pad, pad_c=pad_c, has_inter=has_inter,
             has_avg=bool(plan.avg.any()), cfl=bool(p.cfl_intra), qp=qp,
             qpc=qpc, is_i=not is_p, speed=p.encoder_speed)
-    rec_y, rec_uv, cq_y, cq_uv, icq_y, icq_u, icq_v, icb = \
-        [np.asarray(o) for o in outs]
+    jax.block_until_ready(outs)
+    tick("dispatch")
+    packed, icq, icb = [np.asarray(o) for o in outs]
+    tick("pull")
 
     H2, W2 = h // 2, w // 2
+    hp = ((h + 127) // 128) * 128
+    hc = ((H2 + 63) // 64) * 64
+    rec_y = packed[:h, :w]
+    rec_uv = packed[h:h + H2, :w]
+    cq_y = packed[h + H2:h + H2 + hp]
+    cq_uv = packed[h + H2 + hp:]
+    icq_y, icq_u, icq_v = icq[0], icq[1], icq[2]
     enc.rec.y[:, :] = rec_y.astype(enc.rec.dtype)
     enc.rec.u[:, :] = rec_uv[:, :W2].astype(enc.rec.dtype)
     enc.rec.v[:, :] = rec_uv[:, W2:].astype(enc.rec.dtype)
@@ -671,3 +707,4 @@ def encode_frame_turbo_final(enc, dec):
     coefq = {"y": cq_y, "u": cq_uv[:, :wc], "v": cq_uv[:, wc:]}
     icoef = {"y": icq_y, "u": icq_u, "v": icq_v, "cb": icb}
     emit_nodes(enc, nodes, coefq, icoef, ipos)
+    tick("emit")
