@@ -204,6 +204,14 @@ class BitReader:
         start_byte = pos >> 3
         chunk = self.data[start_byte:end_byte]
         if len(chunk) < end_byte - start_byte:  # past end: zero-pad
+            # Cap the overrun: trailing-byte bit padding is legitimate
+            # (units are byte-aligned), but a desynced unary VLC would
+            # otherwise spin on zero bits forever.  64 spare bits is far
+            # beyond any legal read-ahead (showbits<=3, getbits<=32).
+            if self.bitpos > (len(self.data) << 3) + 64:
+                raise EOFError(
+                    "bitstream overrun: read to bit %d of a %d-byte unit"
+                    % (self.bitpos, len(self.data)))
             chunk = chunk + b"\0" * (end_byte - start_byte - len(chunk))
         word = int.from_bytes(chunk, "big")
         shift = (end_byte << 3) - self.bitpos
