@@ -1278,9 +1278,14 @@ class Decoder:
         # Device pixel pipeline: host entropy scan fills a dense frame
         # plan; the device executes MC + residual + recon in batched calls
         # and the few intra blocks replay on the host afterwards.
+        # qmtx streams are fused-path only (the weighted dequant lives in
+        # pixel_core; the two-stage executor stays qm-free because the
+        # multi-stream sharding shares its input pytree).
         stream_gate = (self.use_device_pixels and h.subsample == 420
-                       and not h.qmtx and not h.cfl_inter)
-        plan_gate = stream_gate and fi.frame_type != I_FRAME
+                       and not h.cfl_inter
+                       and (not h.qmtx or self.use_device_frame))
+        plan_gate = (stream_gate and fi.frame_type != I_FRAME
+                     and not h.qmtx)
         slots, refs = {}, []
         if stream_gate:
             for r in range(fi.num_ref):

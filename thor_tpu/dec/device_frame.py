@@ -274,10 +274,12 @@ def build_wave_segments(recs, H, W, sizes, lanes=LANES):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=(
-    "H", "W", "bd", "pad", "pad_c", "has_inter", "has_avg", "cfl"))
+    "H", "W", "bd", "pad", "pad_c", "has_inter", "has_avg", "cfl",
+    "has_qm"))
 def pixel_core(ystack, ustack, vstack, gstack, cstack, coef_y, coef_uv,
-               q4y, q4c, segs, segcls, H: int, W: int, bd: int, pad: int,
-               pad_c: int, has_inter: bool, has_avg: bool, cfl: bool):
+               q4y, q4c, segs, segcls, qm, H: int, W: int, bd: int,
+               pad: int, pad_c: int, has_inter: bool, has_avg: bool,
+               cfl: bool, has_qm: bool = False):
     """Residuals + inter MC + intra scan in one dispatch (qp-free
     statics, so the expensive compile is shared across the QP ladder).
 
@@ -291,12 +293,17 @@ def pixel_core(ystack, ustack, vstack, gstack, cstack, coef_y, coef_uv,
     maxv = (1 << bd) - 1
 
     # ---- dense residuals for ALL TBs ----
+    if has_qm:
+        wsy, wsc, wby, wbu, wbv = (qm["wsel_y"], qm["wsel_c"], qm["y"],
+                                   qm["u"], qm["v"])
+    else:
+        wsy = wsc = wby = wbu = wbv = None
     res_y = DP._dense_residual(coef_y, q4y[0], q4y[1], bd,
-                               (4, 8, 16, 32, 64, 128))[:H, :W]
+                               (4, 8, 16, 32, 64, 128), wsy, wby)[:H, :W]
     res_u = DP._dense_residual(coef_uv[0], q4c[0], q4c[1], bd,
-                               (4, 8, 16, 32, 64))[:H2, :W2]
+                               (4, 8, 16, 32, 64), wsc, wbu)[:H2, :W2]
     res_v = DP._dense_residual(coef_uv[1], q4c[0], q4c[1], bd,
-                               (4, 8, 16, 32, 64))[:H2, :W2]
+                               (4, 8, 16, 32, 64), wsc, wbv)[:H2, :W2]
 
     # ---- inter MC + reconstruct into base planes ----
     if has_inter:
@@ -433,7 +440,7 @@ class DeviceFrameDecoder:
 
     def eligible(self, dec, blks):
         h = dec.h
-        if h.subsample != 420 or h.qmtx or h.cfl_inter:
+        if h.subsample != 420 or h.cfl_inter:
             return False
         if len(blks) == 0:
             return False
@@ -532,15 +539,24 @@ class DeviceFrameDecoder:
         q4c = np.stack([plan.qp4["c"], plan.ls4["c"]])
         coef_uv = np.stack([plan.coef["u"], plan.coef["v"]])
 
+        qm = {}
+        has_qm = False
+        if h.qmtx:
+            wsel_y, wsel_c, banks = DP.build_qm_operands(dec, plan, blks)
+            qm = {"wsel_y": jnp.asarray(wsel_y),
+                  "wsel_c": jnp.asarray(wsel_c),
+                  "y": banks["y"], "u": banks["u"], "v": banks["v"]}
+            has_qm = True
+
         with jax.enable_x64():
             yf, uf, vf = pixel_core(
                 ystack, ustack, vstack, jnp.asarray(gstack),
                 jnp.asarray(cstack), jnp.asarray(plan.coef["y"]),
                 jnp.asarray(coef_uv), jnp.asarray(q4y), jnp.asarray(q4c),
-                jnp.asarray(segs), jnp.asarray(segcls),
+                jnp.asarray(segs), jnp.asarray(segcls), qm,
                 H=H, W=W, bd=bd, pad=PADDING, pad_c=PADDING >> 1,
                 has_inter=has_inter, has_avg=bool(plan.avg.any()),
-                cfl=bool(h.cfl_intra))
+                cfl=bool(h.cfl_intra), has_qm=has_qm)
             packed, ry, ru, rv = filter_pack(
                 yf, uf, vf, jnp.asarray(mv_), jnp.asarray(mh_),
                 jnp.asarray(cmv), jnp.asarray(cmh), jnp.asarray(lv0),

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from functools import partial
 
 from ..tables import (COEFFS_STANDARD, COEFFS_BIPRED, COEFFS_CHROMA,
-                      GDEQUANT, MIN_PB_SIZE, log2i)
+                      GDEQUANT, INV_WEIGHT_SHIFT, MIN_PB_SIZE, log2i)
 from ..spec.inter import MAX_MV_EXT
 from ..ops.transform import inv_transform_batch
 
@@ -378,6 +378,31 @@ def mc_cells_chroma(ref_stack, rsel, y0, x0, op, vf, hf, cs: int,
 
 
 @partial(jax.jit, static_argnames=("size", "bitdepth"))
+def residual_batch_w(coeff, qp, iw, size: int, bitdepth: int):
+    """Weight-matrix dequantize (common/common_block.c:45-73 with
+    iwmatrix) + inverse transform.  coeff [N,qs,qs] int32, qp [N] int32,
+    iw [N,qs,qs] int32 inverse weights (INV_WEIGHT_SHIFT-scaled).
+    coeff*iw*scale can reach 2^31.06, so the product runs in int64
+    (requires an enable_x64 trace context, like the CFL path)."""
+    qs = min(size, 16)
+    lshift = qp // 6
+    rshift = log2i(size) - 1 + INV_WEIGHT_SHIFT
+    scale = jnp.asarray(GDEQUANT, jnp.int32)[qp % 6]
+    c = (coeff.astype(jnp.int64) * iw.astype(jnp.int64) *
+         scale[:, None, None].astype(jnp.int64))
+    le = (lshift >= rshift)[:, None, None]
+    dl = jnp.maximum(lshift - rshift, 0)[:, None, None]
+    dr = jnp.maximum(rshift - lshift, 0)[:, None, None]
+    add = jnp.where(dr > 0, 1 << jnp.maximum(dr - 1, 0),
+                    0).astype(jnp.int64)
+    r = jnp.where(le, c << dl, (c + add) >> dr)
+    r = ((r.astype(jnp.int32) << 16) >> 16)          # int16 wrap
+    full = jnp.zeros((coeff.shape[0], size, size), jnp.int16)
+    full = full.at[:, :qs, :qs].set(r.astype(jnp.int16))
+    return inv_transform_batch(full, size, bitdepth)
+
+
+@partial(jax.jit, static_argnames=("size", "bitdepth"))
 def residual_batch(coeff, qp, size: int, bitdepth: int):
     """Dynamic-qp dequantize (common/common_block.c:45-73, no qmtx) +
     inverse transform.  coeff [N,qs,qs] int32, qp [N] int32."""
@@ -401,13 +426,18 @@ def residual_batch(coeff, qp, size: int, bitdepth: int):
 # frame executor: ONE jitted dispatch for the whole frame's pixel work
 # ---------------------------------------------------------------------------
 
-def _dense_residual(coefp, qp4, ls4, bd: int, sizes):
+def _dense_residual(coefp, qp4, ls4, bd: int, sizes, wsel4=None,
+                    wbank=None):
     """Inverse-transform every TB of a plane with static shapes.
 
     coefp [hp,wp] int16 dense coefficient plane (hp/wp multiples of the
     largest size); qp4/ls4 [hp/4,wp/4].  For each size the whole plane is
     tiled and transformed, then tiles whose log2-size matches are
-    selected - redundant FLOPs, zero dynamic shapes (the TPU trade)."""
+    selected - redundant FLOPs, zero dynamic shapes (the TPU trade).
+
+    qmtx streams pass wsel4 [hp/4,wp/4] (per-4x4 weight slot) and wbank
+    {size: [L,qs,qs]} inverse-weight banks (build_qm_operands); slots
+    select the (qlevel, intra) matrix for each TB."""
     hp, wp = coefp.shape
     res = jnp.zeros((hp, wp), jnp.int32)
     for s in sizes:
@@ -418,13 +448,72 @@ def _dense_residual(coefp, qp4, ls4, bd: int, sizes):
         t = (coefp.reshape(nh, s, nw, s)[:, :qs, :, :qs]
              .transpose(0, 2, 1, 3).reshape(nh * nw, qs, qs))
         qp_t = qp4[::s // 4, ::s // 4].reshape(-1)
-        r = residual_batch(t.astype(jnp.int32), qp_t, s, bd)
+        if wsel4 is None:
+            r = residual_batch(t.astype(jnp.int32), qp_t, s, bd)
+        else:
+            iw_t = wbank[s][wsel4[::s // 4, ::s // 4].reshape(-1)]
+            r = residual_batch_w(t.astype(jnp.int32), qp_t, iw_t, s, bd)
         pl = (r.reshape(nh, nw, s, s).transpose(0, 2, 1, 3)
               .reshape(hp, wp))
         m = ls4[::s // 4, ::s // 4] == log2i(s)
         pm = jnp.repeat(jnp.repeat(m, s, 0), s, 1)
         res = jnp.where(pm, pl, res)
     return res
+
+
+QM_SLOTS = 24      # weight slots: NUM_QM_LEVELS x {intra,inter} covers
+                   # every possible frame, so the bank shape is static
+
+
+def build_qm_operands(dec, plan, blks):
+    """Host-side qmtx operands for the dense residual path.
+
+    Returns (wsel_y [gh,gw], wsel_c [gh/2,gw/2], banks) where banks maps
+    plane -> {size: [QM_SLOTS,qs,qs] int32}.  The qlevel follows each
+    BLOCK's luma qp (decode_block derives ql from qpY once for all
+    planes, dec/decoder.py:731) - taken from the parsed block records,
+    since the qp4 grid is only filled at coded TBs (a chroma TB under a
+    cbp_y=0 luma block would otherwise read qp 0).  intra/inter selects
+    the matrix flavour per cell."""
+    from ..tables import qp_to_qlevel
+    from . import native_parse as NP
+    h = dec.h
+    qp4y = plan.qp4["y"]
+    gh, gw = qp4y.shape        # padded coef-plane geometry
+    qpd = np.zeros((gh, gw), np.int32)
+    intra4 = np.ones((gh, gw), np.int32)
+    for r in blks:
+        y, x = int(r[NP.B_YPOS]) // 4, int(r[NP.B_XPOS]) // 4
+        s4 = int(r[NP.B_SIZE]) // 4
+        qpd[y:y + s4, x:x + s4] = int(r[NP.B_QPY])
+        intra4[y:y + s4, x:x + s4] = int(r[NP.B_MODE]) == 1  # MODE_INTRA
+    qls = np.zeros_like(qpd)
+    for q in np.unique(qpd):
+        qls[qpd == q] = qp_to_qlevel(int(q), h.qmtx_offset)
+    # slot = pair index over the distinct (qlevel, intra) combos present
+    pairs = sorted({(int(a), int(b))
+                    for a, b in zip(qls.reshape(-1), intra4.reshape(-1))})
+    slot_of = {p: i for i, p in enumerate(pairs)}
+    wsel_y = np.zeros((gh, gw), np.int32)
+    for p, i in slot_of.items():
+        wsel_y[(qls == p[0]) & (intra4 == p[1])] = i
+    wsel_c = wsel_y[::2, ::2].copy()
+    banks = {}
+    for plane, key in ((0, "y"), (1, "u"), (2, "v")):
+        per = {}
+        for s in (4, 8, 16, 32, 64, 128):
+            qs = min(s, 16)
+            bank = np.zeros((QM_SLOTS, qs, qs), np.int32)
+            for (ql, intra_f), i in slot_of.items():
+                # reference quirk: intra chroma dequant uses the U-plane
+                # matrix for BOTH chroma planes (dec/decode_block.c:255,
+                # decoder.py:802 iwm(1,1)); inter is per-plane
+                pl = 1 if (plane == 2 and intra_f) else plane
+                bank[i] = dec.iwmatrix[ql][pl][intra_f][
+                    log2i(s) - 2].astype(np.int32)
+            per[s] = bank
+        banks[key] = per
+    return wsel_y, wsel_c, banks
 
 
 @partial(jax.jit, static_argnames=("H", "W", "bd", "pad", "pad_c",
