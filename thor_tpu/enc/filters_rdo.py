@@ -56,8 +56,11 @@ def _search_one(lev, nb, mse, sb_count, speed):
 def _search_one_dual(lev0, lev1, nb, mse0, mse1, sb_count, speed):
     total = PRISTRENGTHS[speed]
     tot = np.zeros((total, total), np.int64)
-    m0 = np.asarray(mse0, np.int64)[:sb_count, :total]
-    m1 = np.asarray(mse1, np.int64)[:sb_count, :total]
+    # zero eligible SBs (all-skip frame): empty python lists come in 1-D
+    m0 = np.asarray(mse0, np.int64).reshape(-1, TOTAL_STRENGTHS)[
+        :sb_count, :total]
+    m1 = np.asarray(mse1, np.int64).reshape(-1, TOTAL_STRENGTHS)[
+        :sb_count, :total]
     if nb:
         cur = np.stack([m0[:, lev0[g]] + m1[:, lev1[g]] for g in range(nb)])
         best = cur.min(axis=0)

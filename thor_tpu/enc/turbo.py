@@ -14,9 +14,11 @@ state.  The bitstream is therefore fully compliant (Thordec-decodable,
 decoder recon == encoder recon byte-exact); only the RD *choices*
 differ from the reference encoder's.
 
-Scope: LDB-style P/I frames, 4:2:0 8-bit, no tb/pb split, no bipred,
-fixed QP (the LC/MC preset families).  Cf. the reference decision flow
-at enc/encode_block.c:517 (motion_estimate), :1835 (mode_decision_rdo),
+Scope: I/P/B frames (LDB + RA/HDB GOP families incl. interp_ref=1),
+4:2:0 8-bit, no tb/pb split, fixed QP.  B frames decide between skip,
+uni inter per list, bipred (average of the two uni predictions) and
+intra.  Cf. the reference decision flow at enc/encode_block.c:517
+(motion_estimate), :798 (motion_estimate_bi), :1835 (mode_decision_rdo),
 :2401 (process_block) - same search spaces, batched shapes.
 """
 from __future__ import annotations
@@ -48,14 +50,20 @@ _LOWPASS_K = np.array([[0, 1, 1, 0], [1, 2, 2, 1],
 def turbo_supported(enc) -> bool:
     p = enc.params
     fi = enc.fi
-    return (p.subsample == 420 and p.bitdepth == 8 and
+    if not (p.subsample == 420 and p.bitdepth == 8 and
             p.input_bitdepth == 8 and not p.enable_tb_split and
-            not p.enable_pb_split and not p.enable_bipred and
+            not p.enable_pb_split and
             not p.qmtx and p.bitrate == 0 and p.max_delta_qp == 0 and
-            not p.sync and p.interp_ref == 0 and
-            p.log2_sb_size == 7 and
-            fi.frame_type in (I_FRAME, P_FRAME) and
-            p.width % 8 == 0 and p.height % 8 == 0)
+            not p.sync and p.log2_sb_size == 7 and
+            p.width % 8 == 0 and p.height % 8 == 0):
+        return False
+    if fi.frame_type in (I_FRAME, P_FRAME):
+        return True
+    # B frames (RA/HDB families): uni per list + bipred + approximate
+    # skip decisions; interp_ref=1 streams use the interpolated frame
+    # as the skip/zero reference (interp_ref=2's temporal-MV skip mode
+    # is host-path only)
+    return fi.frame_type == B_FRAME and p.interp_ref <= 1
 
 
 # ---------------------------------------------------------------------------
@@ -388,6 +396,32 @@ def eval_intra(orgp, org, lam, qp: int, H: int, W: int, s: int, bd: int):
     return cost, mode.astype(I32)
 
 
+@partial(jax.jit, static_argnames=("H", "W", "s", "qp", "bd"))
+def eval_bipred(org, reffA, reffB, mvAs, mvBs, lam, qp: int, H: int,
+                W: int, s: int, bd: int):
+    """Bipred cost at size s: average of the two uni predictions (decision
+    approximation of the bipred filter pair), trial transform/quant bits.
+    List-1 MV bits are quoted against list 0 (enc/write_bits.c:478)."""
+    pad = (reffA.shape[0] - H) >> 1
+    yy, xx, nh, nw = _grid_pos(H, W, s)
+    ot = _org_tiles(org, H, W, s)
+    cyA, cxA = _clip_mv_b(mvAs[:, 0], mvAs[:, 1], yy, xx, W, H, s)
+    cyB, cxB = _clip_mv_b(mvBs[:, 0], mvBs[:, 1], yy, xx, W, H, s)
+    pA = _mc_pred(reffA, pad, yy, xx, cyA, cxA, s, W, H, bd)
+    pB = _mc_pred(reffB, pad, yy, xx, cyB, cxB, s, W, H, bd)
+    pred = (pA + pB) >> 1
+    ssd, bits, cbp = _trial_bits_ssd(ot, pred, qp, s, False, bd)
+    mvg = jnp.stack([cyA, cxA], -1).reshape(nh, nw, 2)
+    mvp = jnp.concatenate([jnp.zeros((nh, 1, 2), I32), mvg[:, :-1]],
+                          axis=1).reshape(-1, 2)
+    mvbA = quote_mv_bits_batch(cyA - mvp[:, 0], cxA - mvp[:, 1])
+    # emitted list-1 MV is the negated displacement (future ref, sign=1)
+    mvbB = quote_mv_bits_batch(-cyB - cyA, -cxB - cxA)
+    cost = ssd.astype(jnp.float32) + lam * (bits + mvbA + mvbB + 8).astype(
+        jnp.float32)
+    return cost
+
+
 # ---------------------------------------------------------------------------
 # host: frame decision + quadtree assembly
 # ---------------------------------------------------------------------------
@@ -436,14 +470,10 @@ def decide_frame(enc):
                              H, W)
 
     is_i = fi.frame_type == I_FRAME
-    out = {"qp": qp}
+    is_b = fi.frame_type == B_FRAME
+    out = {"qp": qp, "is_b": is_b}
 
-    if not is_i:
-        ref = enc._ref_frame(fi.ref_array[0])
-        # native int16 upload; edge-extend to the padded decision
-        # geometry on device
-        reff = _stage_ref(jnp.asarray(ref.y_full.astype(np.int16)), H, W)
-        orgh = scale2(orgj)
+    def me_chain(reff, orgh):
         refh = scale2(reff)
         mv_h = prepass_half(orgh, refh, H // 2, W // 2)
         mv = {16: refine16(orgj, reff, mv_h, H, W, bd)}
@@ -451,11 +481,40 @@ def decide_frame(enc):
             mv[s] = upsize_mv(orgj, reff, mv[s // 2], H, W, s, bd)
         mv[8] = jnp.repeat(jnp.repeat(
             mv[16].reshape(H // 16, W // 16, 2), 2, 0), 2, 1).reshape(-1, 2)
+        return mv
+
+    def stage(ref):
+        # native int16 upload; edge-extend to the padded decision
+        # geometry on device
+        return _stage_ref(jnp.asarray(ref.y_full.astype(np.int16)), H, W)
+
+    if is_b:
+        # two uni lists (past / future) + the skip/zero reference, which
+        # under interp_ref=1 is the interpolated frame (ref slot 0)
+        r0i = 1 if fi.interp_ref else 0
+        r1i = 2 if fi.interp_ref else 1
+        reffA = stage(enc._ref_frame(fi.ref_array[r0i]))
+        reffB = stage(enc._ref_frame(fi.ref_array[r1i]))
+        reffS = (stage(enc._ref_frame(fi.ref_array[0]))
+                 if fi.interp_ref else reffA)
+        orgh = scale2(orgj)
+        mvA = me_chain(reffA, orgh)
+        mvB = me_chain(reffB, orgh)
+    elif not is_i:
+        reff = stage(enc._ref_frame(fi.ref_array[0]))
+        mv = me_chain(reff, scale2(orgj))
 
     fseg, iseg = [], []
     for s in SIZES:
         n = (H // s) * (W // s)
-        if not is_i:
+        if is_b:
+            ci, mvc = eval_inter(orgj, reffA, mvA[s], lam, qp, H, W, s, bd)
+            ciB, mvcB = eval_inter(orgj, reffB, mvB[s], lam, qp, H, W, s,
+                                   bd)
+            cbi = eval_bipred(orgj, reffA, reffB, mvA[s], mvB[s], lam, qp,
+                              H, W, s, bd)
+            cs, mvs = eval_skip(orgj, reffS, mvA[s], lam, H, W, s, bd)
+        elif not is_i:
             ci, mvc = eval_inter(orgj, reff, mv[s], lam, qp, H, W, s, bd)
             cs, mvs = eval_skip(orgj, reff, mv[s], lam, H, W, s, bd)
         else:
@@ -469,22 +528,29 @@ def decide_frame(enc):
             imode = jnp.zeros((n,), I32)
         fseg += [cs, ci, cn]
         iseg += [mvs.reshape(-1), mvc.reshape(-1), imode]
+        if is_b:
+            fseg += [ciB, cbi]
+            iseg += [mvcB.reshape(-1)]
 
     # ONE pull each for costs and metadata (a tunneled pull has a fixed
     # ~55ms charge; 30 pulls/frame would dominate the decision pass)
+    nf, ni = (5, 7) if is_b else (3, 5)
     fpk = np.asarray(jnp.concatenate(fseg))
     ipk = np.asarray(jnp.concatenate(iseg))
     cost, meta = {}, {}
     fo = io = 0
     for s in SIZES:
         n = (H // s) * (W // s)
-        cost[s] = (fpk[fo:fo + n], fpk[fo + n:fo + 2 * n],
-                   fpk[fo + 2 * n:fo + 3 * n])
-        fo += 3 * n
-        meta[s] = (ipk[io:io + 2 * n].reshape(n, 2),
-                   ipk[io + 2 * n:io + 4 * n].reshape(n, 2),
-                   ipk[io + 4 * n:io + 5 * n])
-        io += 5 * n
+        cost[s] = tuple(fpk[fo + k * n:fo + (k + 1) * n]
+                        for k in range(nf))
+        fo += nf * n
+        m = (ipk[io:io + 2 * n].reshape(n, 2),
+             ipk[io + 2 * n:io + 4 * n].reshape(n, 2),
+             ipk[io + 4 * n:io + 5 * n])
+        if is_b:
+            m += (ipk[io + 5 * n:io + 7 * n].reshape(n, 2),)
+        meta[s] = m
+        io += ni * n
 
     # blocks that don't fit the visible frame can't be leaves
     lamf = float(lam)
@@ -492,9 +558,13 @@ def decide_frame(enc):
     choice = {}
     for s in SIZES:
         nh, nw = H // s, W // s
-        cs, ci, cn = [c.reshape(nh, nw) for c in cost[s]]
-        stackc = np.stack([cs, ci, cn])
+        # cost order: skip, inter(list0), intra[, inter(list1), bipred];
+        # choice codes: 0 skip, 1 inter0, 2 intra, 3 split, 4 inter1,
+        # 5 bipred
+        stackc = np.stack([c.reshape(nh, nw) for c in cost[s]])
         ch = np.argmin(stackc, axis=0)
+        if is_b:
+            ch = np.array([0, 1, 2, 4, 5])[ch]
         bc = np.min(stackc, axis=0)
         yy, xx = np.meshgrid(np.arange(nh) * s, np.arange(nw) * s,
                              indexing="ij")
@@ -539,7 +609,9 @@ def encode_frame_turbo(enc):
     p = enc.params
     fi = enc.fi
     dec = decide_frame(enc)
-    if os.environ.get("THOR_TURBO_FINAL", "1") == "1":
+    # B frames always use the device finalizer (the host fallback below
+    # predates multi-list support)
+    if os.environ.get("THOR_TURBO_FINAL", "1") == "1" or dec["is_b"]:
         # device finalization (all pixel numerics in one dispatch)
         from .turbo_final import encode_frame_turbo_final
         encode_frame_turbo_final(enc, dec)

@@ -54,7 +54,7 @@ AP = 136
 LANES = 32
 SEG_BUCKETS = (4, 16, 64, 256, 1024, 4096)
 INTRA_SIZES = (8, 16, 32, 64)
-MODE_SKIP, MODE_INTRA, MODE_INTER = 0, 1, 2
+MODE_SKIP, MODE_INTRA, MODE_INTER, MODE_BIPRED = 0, 1, 2, 3
 I_FRAME, P_FRAME, B_FRAME = 0, 1, 2
 
 
@@ -432,6 +432,11 @@ def plan_frame(enc, dec):
     h, w = p.height, p.width
     sb = 1 << p.log2_sb_size
     is_p = fi.frame_type != I_FRAME
+    is_b = fi.frame_type == B_FRAME
+    # B uni/bipred list slots (enc/encode_block.c:1708: list 0 = nearest
+    # past, list 1 = nearest future; interp_ref shifts both by one)
+    r0i = 1 if (is_b and fi.interp_ref) else 0
+    r1i = 2 if (is_b and fi.interp_ref) else 1
     view = _DecView(enc)
     if is_p:
         ref_slots = {r: i for i, r in enumerate(fi.ref_array)}
@@ -482,7 +487,8 @@ def plan_frame(enc, dec):
             bi.num_skip_vec = bi.num_merge_vec = 0
 
         gi = (ypos // size, xpos // size)
-        mvs, mvc, imode = dec["meta"][size]
+        meta = dec["meta"][size]
+        mvs, mvc, imode = meta[0], meta[1], meta[2]
         flat = gi[0] * (dec["W"] // size) + gi[1]
 
         if ch == 2 or not is_p:
@@ -505,20 +511,43 @@ def plan_frame(enc, dec):
                   "pb_part": 0, "skip_idx": bidx, "ref_idx0": c[4],
                   "ref_idx1": c[5], "mv_arr0": [(c[0], c[1])] * 4,
                   "mv_arr1": [(c[2], c[3])] * 4, "dir": c[6]}
-        else:
-            mv = (int(mvc[flat, 0]), int(mvc[flat, 1]))
+        elif ch == 5:
+            # bipred: list-0 MV direct, list-1 MV negated (future ref is
+            # MC'd with sign=1, which negates the emitted vector)
+            mvb = meta[3]
+            mv0 = (int(mvc[flat, 0]), int(mvc[flat, 1]))
+            mv1 = (-int(mvb[flat, 0]), -int(mvb[flat, 1]))
             bi.mvp = inter.get_mv_pred(ypos, xpos, w, h, size, size, sb,
                                        enc.dd)
+            bp = {"mode": MODE_BIPRED, "tb_param": 0, "tb_split": 0,
+                  "pb_part": 0, "ref_idx0": r0i, "ref_idx1": r1i,
+                  "mv_arr0": [mv0] * 4, "mv_arr1": [mv1] * 4, "dir": 2,
+                  "skip_idx": 0}
+        else:
+            # uni inter: ch 1 = list 0 (past), ch 4 = list 1 (future,
+            # emitted negated for sign=1 MC)
+            if ch == 4:
+                mvb = meta[3]
+                mv = (-int(mvb[flat, 0]), -int(mvb[flat, 1]))
+                ridx = r1i
+            else:
+                mv = (int(mvc[flat, 0]), int(mvc[flat, 1]))
+                ridx = r0i if is_b else 0
+            bi.mvp = inter.get_mv_pred(ypos, xpos, w, h, size, size, sb,
+                                       enc.dd)
+            # ref_idx1 mirrors ref_idx0 (read_block sets both to the
+            # signalled ref, decoder.py:489) so the deblock-data state -
+            # and hence later skip-candidate lists - stay in sync
             bp = {"mode": MODE_INTER, "tb_param": 0, "tb_split": 0,
-                  "pb_part": 0, "ref_idx0": 0, "ref_idx1": 0,
+                  "pb_part": 0, "ref_idx0": ridx, "ref_idx1": ridx,
                   "mv_arr0": [mv] * 4, "mv_arr1": [mv] * 4, "dir": 0,
                   "skip_idx": 0}
         bi.best = bp
 
-        if bp["mode"] in (MODE_SKIP, MODE_INTER):
+        if bp["mode"] in (MODE_SKIP, MODE_INTER, MODE_BIPRED):
             plan_block_mc(plan, view, bp, size, ypos, xpos, size, size,
                           ref_slots)
-        if bp["mode"] == MODE_INTER:
+        if bp["mode"] in (MODE_INTER, MODE_BIPRED):
             # mark coded TBs for the dense fwd/inverse passes
             qpc = int(CHROMA_QP[qp])
             sC = size >> 1
