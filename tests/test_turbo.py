@@ -78,3 +78,37 @@ def test_turbo_roundtrip_default(monkeypatch):
     yuv, bs, rec = _turbo_encode(128, 128, 2, 11, monkeypatch)
     hdr, frames = decode_stream(bs)
     assert b"".join(frames) == rec
+
+
+def test_turbo_native_emit_matches_python(monkeypatch):
+    """The C plan/emit passes (enc/turbo_native.py + _native/blockemit.c)
+    must be byte-identical with the Python walk + emitter."""
+    from thor_tpu.enc import turbo_native as TN
+    if not TN.available():
+        pytest.skip("native library unavailable")
+    monkeypatch.setattr(TN, "_DISABLED", True)
+    _, bs_py, rec_py = _turbo_encode(128, 128, 2, 11, monkeypatch)
+    monkeypatch.setattr(TN, "_DISABLED", False)
+    _, bs_c, rec_c = _turbo_encode(128, 128, 2, 11, monkeypatch)
+    assert bs_c == bs_py
+    assert rec_c == rec_py
+
+
+@pytest.mark.slow
+def test_turbo_native_emit_matches_python_b_frames(monkeypatch):
+    """Same oracle over an RA-style GOP (B frames: uni lists, bipred,
+    interp_ref=1 skip reference)."""
+    from thor_tpu.enc import turbo_native as TN
+    if not TN.available():
+        pytest.skip("native library unavailable")
+    kw = dict(num_reorder_pics=7, interp_ref=1, enable_bipred=1,
+              dqpB0=3, dqpB1=1, mqpB=1.2, mqpB0=1.1, mqpB1=1.2,
+              mqpB2=1.3, intra_period=64, HQperiod=8)
+    monkeypatch.setattr(TN, "_DISABLED", True)
+    _, bs_py, rec_py = _turbo_encode(128, 96, 10, 5, monkeypatch, **kw)
+    monkeypatch.setattr(TN, "_DISABLED", False)
+    _, bs_c, rec_c = _turbo_encode(128, 96, 10, 5, monkeypatch, **kw)
+    assert bs_c == bs_py
+    assert rec_c == rec_py
+    _, frames = decode_stream(bs_c)
+    assert b"".join(frames) == rec_c

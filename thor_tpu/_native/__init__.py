@@ -41,6 +41,13 @@ def get_lib():
         _lib.get_vlc.restype = ctypes.c_int
         _lib.parse_frame.restype = ctypes.c_long
         _lib.parse_frame.argtypes = [ctypes.POINTER(ParseCtx)]
+        _lib.plan_frame_turbo.restype = ctypes.c_long
+        _lib.plan_frame_turbo.argtypes = [ctypes.POINTER(ParseCtx),
+                                          ctypes.POINTER(TurboPlan)]
+        _lib.emit_frame_turbo.restype = ctypes.c_long
+        _lib.emit_frame_turbo.argtypes = [ctypes.POINTER(ParseCtx),
+                                          ctypes.POINTER(BwStruct),
+                                          ctypes.POINTER(TurboEmit)]
         return _lib
     except Exception:
         return None
@@ -120,3 +127,23 @@ def i16p(arr):
 
 def i64p(arr):
     return arr.ctypes.data_as(_i64p)
+
+
+class TurboPlan(ctypes.Structure):
+    """Mirror of turbo_plan_t in blockemit.c."""
+    _fields_ = [
+        ("choice", _i32p * 5), ("mv_skip", _i32p * 5),
+        ("mv_int", _i32p * 5), ("mv_int1", _i32p * 5),
+        ("imode", _i32p * 5), ("gw", ctypes.c_int32 * 5),
+        ("is_b", ctypes.c_int32), ("r0i", ctypes.c_int32),
+        ("r1i", ctypes.c_int32), ("qp", ctypes.c_int32),
+        ("qpc", ctypes.c_int32),
+    ]
+
+
+class TurboEmit(ctypes.Structure):
+    """Mirror of turbo_emit_t in blockemit.c."""
+    _fields_ = [
+        ("icq", _i16p), ("icb", _i32p),
+        ("S", ctypes.c_long), ("L", ctypes.c_long),
+    ]

@@ -185,6 +185,9 @@ static inline void bw_putbits(bw_t *w, int n, uint32_t val)
     }
 }
 
+/* non-inline export for blockemit.c */
+void bw_putbits_x(bw_t *w, int n, uint32_t val) { bw_putbits(w, n, val); }
+
 static int ilog2(unsigned v) { int c = -1; while (v) { v >>= 1; c++; } return c; }
 
 void put_vlc(bw_t *w, int n, unsigned cn)

@@ -662,7 +662,17 @@ def encode_frame_turbo_final(enc, dec):
     is_p = fi.frame_type != I_FRAME
     bd = p.bitdepth
 
-    nodes, plan, intra_list = plan_frame(enc, dec)
+    # native (C) plan walk when available; Python walk is the fallback
+    # and the byte-exactness oracle (tests/test_turbo.py)
+    from . import turbo_native as TN
+    nt = nodes = None
+    if TN.available():
+        plan = FramePlan(w, h)
+        res = TN.plan_frame(enc, dec, plan)
+        if res is not None:
+            nt, _recs, intra_list = res
+    if nt is None:
+        nodes, plan, intra_list = plan_frame(enc, dec)
     tick("plan")
 
     # intra wave segments
@@ -734,6 +744,9 @@ def encode_frame_turbo_final(enc, dec):
 
     wc = cq_uv.shape[1] // 2
     coefq = {"y": cq_y, "u": cq_uv[:, :wc], "v": cq_uv[:, wc:]}
-    icoef = {"y": icq_y, "u": icq_u, "v": icq_v, "cb": icb}
-    emit_nodes(enc, nodes, coefq, icoef, ipos)
+    if nt is not None:
+        TN.emit_frame(enc, nt, coefq, icq, icb, ipos)
+    else:
+        icoef = {"y": icq_y, "u": icq_u, "v": icq_v, "cb": icb}
+        emit_nodes(enc, nodes, coefq, icoef, ipos)
     tick("emit")
