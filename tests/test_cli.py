@@ -36,7 +36,8 @@ def run_cli(args, cwd=REPO):
 @pytest.mark.parametrize("name", ["tiny64_ldblc",
                                   pytest.param("hdb9_128", marks=pytest.mark.slow),
                                   pytest.param("ra9_256", marks=pytest.mark.slow),
-                                  "ir2_128", "c444_128"])
+                                  pytest.param("ir2_128", marks=pytest.mark.slow),
+                                  "c444_128"])
 def test_dec_stdout_parity(name, tmp_path):
     golden = open(os.path.join(GOLDEN, "stdout", name + "_dec.txt")).read()
     r = run_cli(["dec", os.path.join(GOLDEN, name + ".bit"),

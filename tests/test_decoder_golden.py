@@ -39,6 +39,7 @@ def test_tiny64_host_pixel_path(monkeypatch):
     _check("tiny64_ldblc")
 
 
+@pytest.mark.slow
 def test_interp_ref2_host_pixel_path(monkeypatch):
     monkeypatch.setenv("THOR_DEVICE_PIXELS", "0")
     _check("ir2_128")

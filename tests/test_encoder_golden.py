@@ -95,6 +95,7 @@ def test_encode_sync():
     _check("sync4_128", make_hdb9(9), 128, 96, 4, sync=1, encoder_speed=2)
 
 
+@pytest.mark.slow
 def test_encode_hbd_12bit():
     """12-bit HBD end to end (defaults + -cdef 0; the reference's own
     round-trip fails at this size with CDEF on)."""

@@ -81,6 +81,17 @@ def _f32(x):
     return float(np.float32(x))
 
 
+def frame_lambda_coeff(p: EncParams, fi):
+    """Per-frame lambda multiplier (enc/encode_frame.c:660-676)."""
+    if fi.frame_type == I_FRAME:
+        return p.lambda_coeffI
+    if fi.frame_type == P_FRAME:
+        return p.lambda_coeffP
+    return ([p.lambda_coeffB0, p.lambda_coeffB1, p.lambda_coeffB2,
+             p.lambda_coeffB3][fi.b_level] if fi.b_level <= 3
+            else p.lambda_coeffB)
+
+
 def frame_qp(p: EncParams, fi, num_encoded_frames, sub_gop):
     """QP ladder (enc/mainenc.c:281-314); float multipliers are C floats."""
     if fi.frame_type == I_FRAME:
@@ -1325,14 +1336,7 @@ class Encoder:
         if fi.frame_type == I_FRAME:
             self.dd.clear()
         qp = fi.qp
-        if fi.frame_type == I_FRAME:
-            lc = p.lambda_coeffI
-        elif fi.frame_type == P_FRAME:
-            lc = p.lambda_coeffP
-        else:
-            lc = [p.lambda_coeffB0, p.lambda_coeffB1, p.lambda_coeffB2,
-                  p.lambda_coeffB3][fi.b_level] if fi.b_level <= 3 \
-                else p.lambda_coeffB
+        lc = frame_lambda_coeff(p, fi)
         fi.lambda_coeff = lc
         fi.lambda_ = lc * SQUARED_LAMBDA_QP[fi.qp]
 
@@ -1564,11 +1568,22 @@ class Encoder:
         return bits
 
 
-def encode_sequence(params: EncParams, yuv: bytes, progress=None):
+def encode_sequence(params: EncParams, yuv: bytes, progress=None,
+                    schedule_only=False, encoder_hook=None):
     """Encoder driver (enc/mainenc.c:79-704).
-    Returns (bitstream bytes, recon bytes in display order)."""
+    Returns (bitstream bytes, recon bytes in display order).
+
+    schedule_only=True runs only the frame-scheduling logic (frame
+    types, QP ladder, reference windows, interp specs) with a
+    metadata-only reference window, and returns the list of per-frame
+    snapshots instead of encoding - the GOP-lane driver's lookahead
+    source (enc/gop_lanes.py).  Pass a deep-copied EncParams: the
+    sequence-tail sub-gop collapse mutates params in place."""
     p = params
     enc = Encoder(p)
+    schedule = []
+    if encoder_hook is not None:
+        encoder_hook(enc)
     fi = enc.fi
     out = bytearray()
     recon = {}
@@ -1623,6 +1638,7 @@ def encode_sequence(params: EncParams, yuv: bytes, progress=None):
             fi.num_ref = (0 if fi.frame_type == I_FRAME
                           else min(num_encoded, p.max_num_ref))
             fi.interp_ref = 0
+            interp_spec = None
             fi.ref_array = [0] * fi.num_ref
 
             if fi.num_ref > 0:
@@ -1659,15 +1675,19 @@ def encode_sequence(params: EncParams, yuv: bytes, progress=None):
                                     coded_phase -
                                     dcm[display_phase + ref_offset + 1] - 1)
                                 fi.ref_array[0] = -1
-                                from ..ops.tempinterp import \
-                                    interpolate_frames_auto \
-                                    as interpolate_frames
-                                ref1 = enc.ref[fi.ref_array[1]]
-                                ref2 = enc.ref[fi.ref_array[2]]
-                                interpolate_frames(enc.interp_frames[0],
-                                                   ref1, ref2, 2, 1)
-                                enc.interp_frames[0].pad_frame()
-                                enc.interp_frames[0].frame_num = fi.frame_num
+                                interp_spec = (fi.ref_array[1],
+                                               fi.ref_array[2], 2, 1)
+                                if not schedule_only:
+                                    from ..ops.tempinterp import \
+                                        interpolate_frames_auto \
+                                        as interpolate_frames
+                                    ref1 = enc.ref[fi.ref_array[1]]
+                                    ref2 = enc.ref[fi.ref_array[2]]
+                                    interpolate_frames(enc.interp_frames[0],
+                                                       ref1, ref2, 2, 1)
+                                    enc.interp_frames[0].pad_frame()
+                                    enc.interp_frames[0].frame_num = \
+                                        fi.frame_num
                                 for r in range(3, fi.num_ref):
                                     fi.ref_array[r] = r - 3
                             else:
@@ -1706,17 +1726,24 @@ def encode_sequence(params: EncParams, yuv: bytes, progress=None):
                                         if phase == 0 else
                                         min(phase, num_encoded - 1))
                                 fi.ref_array[0] = -1
-                                from ..ops.tempinterp import \
-                                    interpolate_frames_auto \
-                                    as interpolate_frames
-                                ref1 = enc.ref[fi.ref_array[1]]
-                                ref2 = enc.ref[fi.ref_array[2]]
-                                interpolate_frames(
-                                    enc.interp_frames[0], ref1, ref2,
+                                interp_spec = (
+                                    fi.ref_array[1], fi.ref_array[2],
                                     sub_gop - phase,
                                     1 if phase != 0 else sub_gop - phase - 1)
-                                enc.interp_frames[0].pad_frame()
-                                enc.interp_frames[0].frame_num = fi.frame_num
+                                if not schedule_only:
+                                    from ..ops.tempinterp import \
+                                        interpolate_frames_auto \
+                                        as interpolate_frames
+                                    ref1 = enc.ref[fi.ref_array[1]]
+                                    ref2 = enc.ref[fi.ref_array[2]]
+                                    interpolate_frames(
+                                        enc.interp_frames[0], ref1, ref2,
+                                        sub_gop - phase,
+                                        1 if phase != 0 else
+                                        sub_gop - phase - 1)
+                                    enc.interp_frames[0].pad_frame()
+                                    enc.interp_frames[0].frame_num = \
+                                        fi.frame_num
                                 if fi.num_ref > 2:
                                     fi.ref_array[3] = min(
                                         phase + sub_gop if phase
@@ -1788,6 +1815,36 @@ def encode_sequence(params: EncParams, yuv: bytes, progress=None):
             else:
                 fi.num_intra_modes = 10
 
+            if schedule_only:
+                # record the coding schedule; shift the reference window
+                # metadata only (no pixels, no bits)
+                rfn = [enc.ref[r].frame_num if 0 <= r < len(enc.ref)
+                       else None for r in fi.ref_array]
+                schedule.append({
+                    "frame_num": fi.frame_num,
+                    "orig_offset": frame_num * (frame_size +
+                                                p.frame_headerlen) +
+                    p.file_headerlen + p.frame_headerlen,
+                    "frame_type": fi.frame_type,
+                    "b_level": fi.b_level,
+                    "phase": fi.phase,
+                    "qp": fi.qp,
+                    "num_ref": fi.num_ref,
+                    "ref_array": list(fi.ref_array),
+                    "ref_frame_nums": rfn,
+                    "interp_ref": fi.interp_ref,
+                    "interp_spec": interp_spec,
+                    "num_intra_modes": fi.num_intra_modes,
+                })
+                num_encoded += 1
+                tmp = enc.ref[MAX_REF_FRAMES - 1]
+                enc.ref[1:] = enc.ref[:-1]
+                enc.ref[0] = tmp
+                enc.ref[0].frame_num = fi.frame_num
+                last_PorI = (0 if fi.frame_type != B_FRAME
+                             else last_PorI + 1)
+                continue
+
             enc.orig.read_from(
                 yuv, frame_num * (frame_size + p.frame_headerlen) +
                 p.file_headerlen + p.frame_headerlen)
@@ -1817,9 +1874,14 @@ def encode_sequence(params: EncParams, yuv: bytes, progress=None):
         if (((frame_num0 + sub_gop + 1) * frame_size > input_size or
              frame_num0 + sub_gop >= p.skip + p.num_frames) and
                 sub_gop >= 2):
+            sub_gop_prev = sub_gop
             p.HQperiod = sub_gop
             sub_gop = 1
             p.num_reorder_pics = 0
+            if schedule_only:
+                schedule.append({"transition": sub_gop_prev})
         frame_num0 += sub_gop
 
+    if schedule_only:
+        return schedule
     return bytes(out), b"".join(recon[k] for k in sorted(recon))

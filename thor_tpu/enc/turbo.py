@@ -451,7 +451,7 @@ def _stage_ref(ref_i16, H: int, W: int):
     return jnp.pad(r, ((0, H + 320 - sh), (0, W + 320 - sw)), mode="edge")
 
 
-def decide_frame(enc):
+def decide_frame(enc, pull=True):
     """Run the batched decision pass; returns per-size numpy decision
     grids + the final leaf map."""
     p = enc.params
@@ -533,10 +533,35 @@ def decide_frame(enc):
             iseg += [mvcB.reshape(-1)]
 
     # ONE pull each for costs and metadata (a tunneled pull has a fixed
-    # ~55ms charge; 30 pulls/frame would dominate the decision pass)
+    # ~55ms charge; 30 pulls/frame would dominate the decision pass).
+    # pull=False defers the pull: the device work stays in flight and
+    # the GOP-lane prefetcher (enc/gop_lanes.py) resolves it at the
+    # frame's coding turn.
+    fpk_dev = jnp.concatenate(fseg)
+    ipk_dev = jnp.concatenate(iseg)
+    if not pull:
+        return PendingDecision(fpk_dev, ipk_dev, out,
+                               (H, W, H0, W0, float(lam)))
+    return _finish_decide(np.asarray(fpk_dev), np.asarray(ipk_dev), out,
+                          (H, W, H0, W0, float(lam)))
+
+
+class PendingDecision:
+    """A dispatched-but-not-pulled decision pass (device arrays)."""
+
+    def __init__(self, fpk, ipk, out, geom):
+        self.fpk, self.ipk, self.out, self.geom = fpk, ipk, out, geom
+
+    def resolve(self):
+        return _finish_decide(np.asarray(self.fpk), np.asarray(self.ipk),
+                              self.out, self.geom)
+
+
+def _finish_decide(fpk, ipk, out, geom):
+    """Host unpack + quadtree aggregation over the pulled cost/meta."""
+    H, W, H0, W0, lamf = geom
+    is_b = out["is_b"]
     nf, ni = (5, 7) if is_b else (3, 5)
-    fpk = np.asarray(jnp.concatenate(fseg))
-    ipk = np.asarray(jnp.concatenate(iseg))
     cost, meta = {}, {}
     fo = io = 0
     for s in SIZES:
@@ -553,7 +578,6 @@ def decide_frame(enc):
         io += ni * n
 
     # blocks that don't fit the visible frame can't be leaves
-    lamf = float(lam)
     best = {}
     choice = {}
     for s in SIZES:
@@ -608,7 +632,10 @@ def encode_frame_turbo(enc):
 
     p = enc.params
     fi = enc.fi
-    dec = decide_frame(enc)
+    # GOP-lane prefetch (enc/gop_lanes.py): the decision pass for this
+    # frame may already be in flight from an earlier coding turn
+    pend = getattr(enc, "_lane_decisions", {}).pop(fi.frame_num, None)
+    dec = pend.resolve() if pend is not None else decide_frame(enc)
     # B frames always use the device finalizer (the host fallback below
     # predates multi-list support)
     if os.environ.get("THOR_TURBO_FINAL", "1") == "1" or dec["is_b"]:
