@@ -98,9 +98,73 @@ def synthetic_pipeline_fps():
     return n / (time.time() - t0)
 
 
+def turbo_encode_fps(H=1088, W=1920, N=6):
+    """Measure the turbo encoder end-to-end at 1080p: decide (device) +
+    native plan/emit (C) + device finalization, steady-state fps over
+    the last frames of a 6-frame textured clip.  Every number printed
+    by this benchmark is computed during the run."""
+    import numpy as np
+    os.environ["THOR_TURBO"] = "1"
+    from thor_tpu.enc.params import EncParams
+    from thor_tpu.enc import encoder as E
+
+    rng = np.random.default_rng(12)
+    base = np.clip(np.linspace(40, 210, W)[None, :] +
+                   np.linspace(0, 40, H)[:, None] +
+                   rng.integers(-12, 12, (H, W)), 0, 255).astype(np.uint8)
+    frames = []
+    for i in range(N):
+        y = np.roll(base, 8 * i, axis=1)
+        u = np.full((H // 2, W // 2), 124, np.uint8)
+        v = np.full((H // 2, W // 2), 132, np.uint8)
+        frames += [y.tobytes(), u.tobytes(), v.tobytes()]
+    yuv = b"".join(frames)
+
+    times = []
+
+    def prog(fn, ft, stats):
+        times.append(time.time())
+
+    params = EncParams(width=W, height=H, num_frames=N, qp=32,
+                       lambda_coeffI=0.8, lambda_coeffP=1.2,
+                       early_skip_thr=1.0, max_num_ref=2, HQperiod=12,
+                       mqpP=1.2, dqpI=-2, encoder_speed=2, cdef=0,
+                       clpf=1, use_block_contexts=1)
+    t0 = time.time()
+    bs, rec = E.encode_sequence(params, yuv, progress=prog)
+    times.insert(0, t0)
+    deltas = [b - a for a, b in zip(times, times[1:])]
+    steady = deltas[2:] if len(deltas) > 3 else deltas
+    # compliance gate: the stream must decode back to the recon
+    from thor_tpu.dec import decode_stream
+    _, dec_frames = decode_stream(bs)
+    exact = b"".join(dec_frames) == rec
+    return len(steady) / sum(steady), exact
+
+
 def main():
     fps, ok = real_decode_fps()
     extras = {"bit_exact_vs_reference": ok}
+    try:
+        # hermetic subprocess with a hard timeout: a pathological
+        # first-compile must not take down the decode headline
+        import subprocess
+        import sys
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import json, bench; f, ok = bench.turbo_encode_fps(); "
+             "print('TURBO_JSON ' + json.dumps([f, ok]))"],
+            capture_output=True, text=True, timeout=1500,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("TURBO_JSON ")]
+        efps, eok = json.loads(line[0][11:])
+        extras["turbo_encode_1080p_fps"] = round(efps, 3)
+        extras["turbo_encode_roundtrip_exact"] = eok
+        extras["turbo_vs_thorenc_lc"] = round(
+            efps / THORENC_LC_1080P_FPS_X86, 4)
+    except Exception as e:  # noqa: BLE001
+        extras["turbo_encode_1080p_fps"] = f"error: {type(e).__name__}"
     try:
         extras["synthetic_pixel_pipeline_fps"] = round(
             synthetic_pipeline_fps(), 2)
