@@ -112,3 +112,13 @@ def test_turbo_native_emit_matches_python_b_frames(monkeypatch):
     assert rec_c == rec_py
     _, frames = decode_stream(bs_c)
     assert b"".join(frames) == rec_c
+
+
+@pytest.mark.slow
+def test_turbo_qmtx_roundtrip(monkeypatch):
+    """qmtx turbo: weighted quant/dequant in the fused finalizer; the
+    stream must decode (through the fused qm decoder) byte-exactly."""
+    yuv, bs, rec = _turbo_encode(128, 96, 4, 13, monkeypatch, qmtx=1,
+                                 qmtx_offset=12)
+    _, frames = decode_stream(bs)
+    assert b"".join(frames) == rec

@@ -15,7 +15,7 @@ decoder recon == encoder recon byte-exact); only the RD *choices*
 differ from the reference encoder's.
 
 Scope: I/P/B frames (LDB + RA/HDB GOP families incl. interp_ref=1),
-4:2:0 8-bit, no tb/pb split, fixed QP.  B frames decide between skip,
+4:2:0 8-bit, qmtx supported, no tb/pb split, fixed QP.  B frames decide between skip,
 uni inter per list, bipred (average of the two uni predictions) and
 intra.  Cf. the reference decision flow at enc/encode_block.c:517
 (motion_estimate), :798 (motion_estimate_bi), :1835 (mode_decision_rdo),
@@ -53,7 +53,7 @@ def turbo_supported(enc) -> bool:
     if not (p.subsample == 420 and p.bitdepth == 8 and
             p.input_bitdepth == 8 and not p.enable_tb_split and
             not p.enable_pb_split and
-            not p.qmtx and p.bitrate == 0 and p.max_delta_qp == 0 and
+            p.bitrate == 0 and p.max_delta_qp == 0 and
             not p.sync and p.log2_sb_size == 7 and
             p.width % 8 == 0 and p.height % 8 == 0):
         return False

@@ -80,7 +80,7 @@ def _fast_intra(speed: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def _coef_plane(res_pl, ls4, qp: int, is_i: bool, sizes, speed: int,
-                bd: int):
+                bd: int, wm=None):
     """Transform+quantize every coded TB of a plane with static shapes.
 
     res_pl [hp,wp] int32 residual (org - pred, int16-wrapped range);
@@ -99,7 +99,11 @@ def _coef_plane(res_pl, ls4, qp: int, is_i: bool, sizes, speed: int,
         tiles = (res_pl.reshape(nh, s, nw, s).transpose(0, 2, 1, 3)
                  .reshape(nh * nw, s, s))
         co = fwd_transform_batch(tiles, s, _fast_inter(s, speed), bd)
-        cq, _ = quantize_batch(co.astype(jnp.int16), qp, s, int(is_i))
+        if wm is None:
+            cq, _ = quantize_batch(co.astype(jnp.int16), qp, s, int(is_i))
+        else:
+            cq, _ = quantize_batch(co.astype(jnp.int16), qp, s, int(is_i),
+                                   wmatrix=wm[s], weighted=True)
         pl = jnp.zeros((nh, nw, s, s), jnp.int16)
         pl = pl.at[:, :, :qs, :qs].set(cq.reshape(nh, nw, qs, qs))
         pl = pl.transpose(0, 2, 1, 3).reshape(hp, wp)
@@ -115,7 +119,7 @@ def _coef_plane(res_pl, ls4, qp: int, is_i: bool, sizes, speed: int,
 
 def _enc_intra_waves(y_pl, u_pl, v_pl, org_y, org_u, org_v, segs, segcls,
                      qp: int, qpc: int, is_i: bool, speed: int, bd: int,
-                     cfl: bool, sizes):
+                     cfl: bool, sizes, qm=None):
     """Encoder twin of dec/device_frame._intra_waves: each scan step
     processes one wave segment (<=LANES independent same-size intra
     blocks), running the full encode loop of enc/encode_block.c:1100 -
@@ -135,13 +139,21 @@ def _enc_intra_waves(y_pl, u_pl, v_pl, org_y, org_u, org_v, segs, segcls,
             return jax.lax.dynamic_slice(plane, (y, x), (n, n))
         return jax.vmap(f)(yy, xx)
 
-    def _plane_enc(org_t, pred, n: int, q: int):
-        """org/pred [L,n,n] -> (cq [L,qs,qs] i16, cbp [L], rec [L,n,n])."""
+    def _plane_enc(org_t, pred, n: int, q: int, wm=None, iw=None):
+        """org/pred [L,n,n] -> (cq [L,qs,qs] i16, cbp [L], rec [L,n,n]).
+        wm/iw: optional qmtx forward/inverse weight matrices [qs,qs]."""
         res = ((org_t - pred).astype(jnp.int16)).astype(jnp.int32)
         co = fwd_transform_batch(res, n, fast, bd)
-        cq, cbp = quantize_batch(co.astype(jnp.int16), q, n, int(is_i))
-        qvec = jnp.full((cq.shape[0],), q, jnp.int32)
-        rb = DP.residual_batch(cq.astype(jnp.int32), qvec, n, bd)
+        qvec = jnp.full((co.shape[0],), q, jnp.int32)
+        if wm is None:
+            cq, cbp = quantize_batch(co.astype(jnp.int16), q, n, int(is_i))
+            rb = DP.residual_batch(cq.astype(jnp.int32), qvec, n, bd)
+        else:
+            cq, cbp = quantize_batch(co.astype(jnp.int16), q, n,
+                                     int(is_i), wmatrix=wm, weighted=True)
+            iwb = jnp.broadcast_to(iw[None], (cq.shape[0],) + iw.shape)
+            rb = DP.residual_batch_w(cq.astype(jnp.int32), qvec, iwb, n,
+                                     bd)
         rec = jnp.clip(_pred16(pred) + rb, 0, maxv)
         rec = jnp.where((cbp > 0)[:, None, None], rec,
                         jnp.clip(_pred16(pred), 0, maxv))
@@ -160,8 +172,10 @@ def _enc_intra_waves(y_pl, u_pl, v_pl, org_y, org_u, org_v, segs, segcls,
             preds = IB.predict_all_modes(l, t, tl, yy, xx, n, bd, 10)
             pred = jnp.take_along_axis(
                 preds, mode[None, :, None, None], axis=0)[0]
-            cqy, cby, rec = _plane_enc(_slices(org_y, yy, xx, n), pred,
-                                       n, qp)
+            cqy, cby, rec = _plane_enc(
+                _slices(org_y, yy, xx, n), pred, n, qp,
+                wm=qm["fiy"][n] if qm else None,
+                iw=qm["iiy"][n] if qm else None)
             yc, xc = yy >> 1, xx >> 1
             lu, tu, tlu = IB.make_refs_batch(u_pl, yc, xc, nc, ur, dl, bd)
             pu = jnp.take_along_axis(
@@ -175,10 +189,12 @@ def _enc_intra_waves(y_pl, u_pl, v_pl, org_y, org_u, org_v, segs, segcls,
                 pu, pv = jax.vmap(
                     lambda p_, u_, v_, r_: _cfl_j(p_, u_, v_, r_, n, bd))(
                         pred, pu, pv, rec)
+            wmc = qm["fic"][nc] if qm else None
+            iwc = qm["iic"][nc] if qm else None
             cqu, cbu, recu = _plane_enc(_slices(org_u, yc, xc, nc), pu,
-                                        nc, qpc)
+                                        nc, qpc, wm=wmc, iw=iwc)
             cqv, cbv, recv = _plane_enc(_slices(org_v, yc, xc, nc), pv,
-                                        nc, qpc)
+                                        nc, qpc, wm=wmc, iw=iwc)
             py = jnp.zeros((L, WMAX, WMAX), jnp.int32).at[
                 :, :n, :n].set(rec)
             pu_ = jnp.zeros((L, WC, WC), jnp.int32).at[
@@ -249,18 +265,57 @@ def _enc_intra_waves(y_pl, u_pl, v_pl, org_y, org_u, org_v, segs, segcls,
     return y_pl, u_pl, v_pl, outs
 
 
+
+def _qm_operands(enc, qp):
+    """Per-frame qmtx weight operands for the fused finalizer.
+
+    Fixed-QP turbo means ONE qlevel per frame; selection mirrors the
+    exact host encoder (enc/encoder.py:_wm/_iwm): inter is per-plane,
+    intra chroma uses the U-plane matrix for BOTH chroma planes
+    (enc/encode_block.c quantize calls with plane=1 for u and v)."""
+    from ..tables import qp_to_qlevel
+    p = enc.params
+    ql = qp_to_qlevel(qp, p.qmtx_offset)
+    wm, iwm = enc.wmatrix, enc.iwmatrix
+
+    def fw(plane, intra, sizes):
+        return {s: jnp.asarray(wm[ql][plane][intra][log2i(s) - 2],
+                               jnp.int64) for s in sizes}
+
+    def iv(plane, intra, sizes, bank=False):
+        out = {}
+        for s in sizes:
+            m = jnp.asarray(iwm[ql][plane][intra][log2i(s) - 2],
+                            jnp.int32)
+            out[s] = m[None] if bank else m
+        return out
+
+    return {
+        "fy": fw(0, 0, (8, 16, 32, 64, 128)),
+        "fu": fw(1, 0, (4, 8, 16, 32, 64)),
+        "fv": fw(2, 0, (4, 8, 16, 32, 64)),
+        "iy": iv(0, 0, (4, 8, 16, 32, 64, 128), bank=True),
+        "iu": iv(1, 0, (4, 8, 16, 32, 64), bank=True),
+        "iv": iv(2, 0, (4, 8, 16, 32, 64), bank=True),
+        "fiy": fw(0, 1, (8, 16, 32, 64)),
+        "fic": fw(1, 1, (4, 8, 16, 32)),
+        "iiy": iv(0, 1, (8, 16, 32, 64)),
+        "iic": iv(1, 1, (4, 8, 16, 32)),
+    }
+
+
 # ---------------------------------------------------------------------------
 # fused finalization kernel
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=(
     "H", "W", "bd", "pad", "pad_c", "has_inter", "has_avg", "cfl",
-    "qp", "qpc", "is_i", "speed"))
+    "qp", "qpc", "is_i", "speed", "has_qm"))
 def finalize_core(org_y, org_u, org_v, ystack, ustack, vstack, gstack,
-                  cstack, q4y, q4c, segs, segcls, H: int, W: int,
+                  cstack, q4y, q4c, segs, segcls, qm, H: int, W: int,
                   bd: int, pad: int, pad_c: int, has_inter: bool,
                   has_avg: bool, cfl: bool, qp: int, qpc: int,
-                  is_i: bool, speed: int):
+                  is_i: bool, speed: int, has_qm: bool = False):
     """One dispatch: MC pred + fwd quantize + recon + intra waves.
 
     Returns (packed i16 [H+H/2+hp+hc, max(W,wp)] buffer holding rec_y,
@@ -325,19 +380,28 @@ def finalize_core(org_y, org_u, org_v, ystack, ustack, vstack, gstack,
         rv = jnp.zeros((hc, wc), jnp.int32).at[:H2, :W2].set(
             org_v - pred_v)
         coefq_y = _coef_plane(ry, q4y[1], qp, is_i, (8, 16, 32, 64, 128),
-                              speed, bd)
+                              speed, bd, qm["fy"] if has_qm else None)
         coefq_u = _coef_plane(ru, q4c[1], qpc, is_i, (4, 8, 16, 32, 64),
-                              speed, bd)
+                              speed, bd, qm["fu"] if has_qm else None)
         coefq_v = _coef_plane(rv, q4c[1], qpc, is_i, (4, 8, 16, 32, 64),
-                              speed, bd)
+                              speed, bd, qm["fv"] if has_qm else None)
 
-        # decoder-exact inverse path over the quantized planes
+        # decoder-exact inverse path over the quantized planes (qmtx
+        # streams select inverse-weight banks; the frame has one qlevel,
+        # so the selector grids are constant zero)
+        if has_qm:
+            wsy = jnp.zeros((hp // 4, wp // 4), jnp.int32)
+            wsc = jnp.zeros((hc // 4, wc // 4), jnp.int32)
+            iby, ibu, ibv = qm["iy"], qm["iu"], qm["iv"]
+        else:
+            wsy = wsc = iby = ibu = ibv = None
         res_y = DP._dense_residual(coefq_y, q4y[0], q4y[1], bd,
-                                   (4, 8, 16, 32, 64, 128))[:H, :W]
+                                   (4, 8, 16, 32, 64, 128),
+                                   wsy, iby)[:H, :W]
         res_u = DP._dense_residual(coefq_u, q4c[0], q4c[1], bd,
-                                   (4, 8, 16, 32, 64))[:H2, :W2]
+                                   (4, 8, 16, 32, 64), wsc, ibu)[:H2, :W2]
         res_v = DP._dense_residual(coefq_v, q4c[0], q4c[1], bd,
-                                   (4, 8, 16, 32, 64))[:H2, :W2]
+                                   (4, 8, 16, 32, 64), wsc, ibv)[:H2, :W2]
 
         def recon(pred, res):
             return jnp.clip(((pred << 16) >> 16) + res, 0, maxv)
@@ -371,7 +435,7 @@ def finalize_core(org_y, org_u, org_v, ystack, ustack, vstack, gstack,
     sizes = tuple(s for s in INTRA_SIZES if s <= min(H, W))
     y_pl, u_pl, v_pl, (icq_y, icq_u, icq_v, icb) = _enc_intra_waves(
         y_pl, u_pl, v_pl, oyp, oup, ovp, segs, segcls, qp, qpc, is_i,
-        speed, bd, cfl, sizes)
+        speed, bd, cfl, sizes, qm if has_qm else None)
     rec_y = y_pl[:H, :W].astype(jnp.int16)
     rec_uv = jnp.concatenate([u_pl[:H2, :W2], v_pl[:H2, :W2]],
                              axis=1).astype(jnp.int16)
@@ -714,6 +778,7 @@ def encode_frame_turbo_final(enc, dec):
     q4c = np.stack([plan.qp4["c"], plan.ls4["c"]])
 
     tick("stage_inputs")
+    qmops = _qm_operands(enc, qp) if p.qmtx else {}
     with jax.enable_x64():
         outs = finalize_core(
             jnp.asarray(np.ascontiguousarray(enc.orig.y)),
@@ -722,9 +787,11 @@ def encode_frame_turbo_final(enc, dec):
             jnp.asarray(ystack), jnp.asarray(ustack), jnp.asarray(vstack),
             jnp.asarray(gstack), jnp.asarray(cstack), jnp.asarray(q4y),
             jnp.asarray(q4c), jnp.asarray(segs), jnp.asarray(segcls),
+            qmops,
             H=h, W=w, bd=bd, pad=pad, pad_c=pad_c, has_inter=has_inter,
             has_avg=bool(plan.avg.any()), cfl=bool(p.cfl_intra), qp=qp,
-            qpc=qpc, is_i=not is_p, speed=p.encoder_speed)
+            qpc=qpc, is_i=not is_p, speed=p.encoder_speed,
+            has_qm=bool(p.qmtx))
     jax.block_until_ready(outs)
     tick("dispatch")
     packed, icq, icb = [np.asarray(o) for o in outs]
