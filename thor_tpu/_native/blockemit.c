@@ -391,6 +391,11 @@ long emit_frame_turbo(parse_ctx_t *c, bw_t *w, const turbo_emit_t *t)
             int code = cbp_code_tab[cbp];
             if (cbp_ctx == 0 && code < 2)
                 code = 1 - code;
+            /* tb-split-capable presets widen the cbp code space
+             * (enc/write_bits.c:505-516; turbo always codes
+             * tb_split=0, so only the >=off shift applies) */
+            if (c->tb_split_enable == 1 && code >= 2)
+                code += 1;
             put_vlc(w, 0, (unsigned)code);
 
             int ctype = (mode == MODE_INTRA) << 1;

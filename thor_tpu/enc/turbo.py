@@ -51,7 +51,7 @@ def turbo_supported(enc) -> bool:
     p = enc.params
     fi = enc.fi
     if not (p.subsample == 420 and p.bitdepth == 8 and
-            p.input_bitdepth == 8 and not p.enable_tb_split and
+            p.input_bitdepth == 8 and
             not p.enable_pb_split and
             p.bitrate == 0 and p.max_delta_qp == 0 and
             not p.sync and p.log2_sb_size == 7 and
@@ -659,7 +659,7 @@ def encode_frame_turbo(enc):
         bi.sub = enc.sub
         bi.qp = qp
         bi.delta_qp = 0
-        bi.max_num_tb_part = 1
+        bi.max_num_tb_part = 2 if p.enable_tb_split == 1 else 1
         bi.max_num_pb_part = 1
         bi.lambda_ = fi.lambda_coeff * SQUARED_LAMBDA_QP[qp]
         bi.best = None

@@ -531,7 +531,7 @@ def plan_frame(enc, dec):
         bi.sub = enc.sub
         bi.qp = qp
         bi.delta_qp = 0
-        bi.max_num_tb_part = 1
+        bi.max_num_tb_part = 2 if p.enable_tb_split == 1 else 1
         bi.max_num_pb_part = 1
         bi.lambda_ = fi.lambda_coeff * SQUARED_LAMBDA_QP[qp]
         bi.best = None
