@@ -122,3 +122,17 @@ def test_turbo_qmtx_roundtrip(monkeypatch):
                                  qmtx_offset=12)
     _, frames = decode_stream(bs)
     assert b"".join(frames) == rec
+
+
+@pytest.mark.slow
+def test_turbo_hbd_qm_he_roundtrip(monkeypatch):
+    """BASELINE config-3 feature set: 10-bit + qmtx + tb-split-capable
+    HE + B frames; the turbo stream must decode byte-exactly."""
+    kw = dict(num_reorder_pics=7, interp_ref=1, enable_bipred=1,
+              enable_tb_split=1, intra_rdo=1, qmtx=1, qmtx_offset=12,
+              bitdepth=10, dqpB0=3, dqpB1=1, mqpB=1.2, mqpB0=1.1,
+              mqpB1=1.2, mqpB2=1.3, intra_period=64, HQperiod=8,
+              encoder_speed=0)
+    _, bs, rec = _turbo_encode(128, 96, 4, 21, monkeypatch, **kw)
+    _, frames = decode_stream(bs)
+    assert b"".join(frames) == rec

@@ -15,7 +15,8 @@ decoder recon == encoder recon byte-exact); only the RD *choices*
 differ from the reference encoder's.
 
 Scope: I/P/B frames (LDB + RA/HDB GOP families incl. interp_ref=1),
-4:2:0 8-bit, qmtx supported, no tb/pb split, fixed QP.  B frames decide between skip,
+4:2:0 8/10/12-bit, qmtx supported, no pb split, fixed QP
+(tb-split presets emit tb_split=0).  B frames decide between skip,
 uni inter per list, bipred (average of the two uni predictions) and
 intra.  Cf. the reference decision flow at enc/encode_block.c:517
 (motion_estimate), :798 (motion_estimate_bi), :1835 (mode_decision_rdo),
@@ -50,8 +51,8 @@ _LOWPASS_K = np.array([[0, 1, 1, 0], [1, 2, 2, 1],
 def turbo_supported(enc) -> bool:
     p = enc.params
     fi = enc.fi
-    if not (p.subsample == 420 and p.bitdepth == 8 and
-            p.input_bitdepth == 8 and
+    if not (p.subsample == 420 and p.bitdepth in (8, 10, 12) and
+            p.input_bitdepth <= p.bitdepth and
             not p.enable_pb_split and
             p.bitrate == 0 and p.max_delta_qp == 0 and
             not p.sync and p.log2_sb_size == 7 and
@@ -462,7 +463,7 @@ def decide_frame(enc, pull=True):
     H0, W0 = p.height, p.width
     H = ((H0 + 127) // 128) * 128
     W = ((W0 + 127) // 128) * 128
-    bd = 8
+    bd = p.bitdepth
 
     # upload the original at its native 8-bit dtype (tunnel uploads are
     # the dominant decide cost at 1080p); zero-pad + widen on device
