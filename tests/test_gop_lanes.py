@@ -42,3 +42,26 @@ def test_gop_lanes_bit_exact(monkeypatch):
     assert stats["max_in_flight"] >= 2, stats
     assert bs_l == bs_seq
     assert rec_l == rec_seq
+
+
+@pytest.mark.slow
+def test_multistream_encode_sharded(monkeypatch):
+    """Two concurrent turbo encodes pinned to separate mesh devices
+    (enc/multistream.py) must equal the solo encodes byte-for-byte."""
+    import jax
+    from thor_tpu.enc.multistream import encode_streams_sharded
+    monkeypatch.setenv("THOR_TURBO", "1")
+    clip_a = _clip(64, 64, 5, 9)
+    clip_b = _clip(64, 64, 5, 23)
+    kw = dict(RA_KW, num_reorder_pics=3, HQperiod=4)
+
+    def params():
+        return EncParams(width=64, height=64, num_frames=5, **kw)
+
+    solo = [E.encode_sequence(params(), clip_a),
+            E.encode_sequence(params(), clip_b)]
+    devs = jax.devices()[:2]
+    out = encode_streams_sharded(
+        [(params(), clip_a), (params(), clip_b)], devs)
+    assert out[0] == solo[0]
+    assert out[1] == solo[1]
