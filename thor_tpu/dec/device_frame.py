@@ -13,8 +13,9 @@ frame number); per frame the host uploads only the parsed plan tensors
 dec/decode_block.c pixel semantics; exactness is enforced by the golden
 suite (the two-stage path and the host path remain as fallbacks).
 
-Scope: 4:2:0, no qmtx, no cfl_inter, no tb-split intra in the frame
-(gates checked per frame; ineligible frames use the existing paths).
+Scope: 4:2:0 (incl. qmtx via weighted dequant banks), no cfl_inter, no
+tb-split intra in the frame (gates checked per frame; ineligible frames
+use the existing paths).
 """
 from __future__ import annotations
 
