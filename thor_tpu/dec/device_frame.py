@@ -453,6 +453,10 @@ class DeviceFrameDecoder:
     def run(self, dec, s, blks, plan, refs):
         """Execute one parsed frame; fills dec.rec; consumes the filter
         stream reads (CDEF presets, CLPF bits) in reference order."""
+        import os as _os
+        import time as _time
+        prof = _os.environ.get("THOR_PROF", "0") == "1"
+        t0 = _time.time()
         h = dec.h
         fi = dec.fi
         H, W = dec.height, dec.width
@@ -549,6 +553,7 @@ class DeviceFrameDecoder:
                   "y": banks["y"], "u": banks["u"], "v": banks["v"]}
             has_qm = True
 
+        t_prep = _time.time() - t0
         with jax.enable_x64():
             yf, uf, vf = pixel_core(
                 ystack, ustack, vstack, jnp.asarray(gstack),
@@ -577,7 +582,18 @@ class DeviceFrameDecoder:
         while len(self.ring) > 34:
             self.ring.popitem(last=False)
 
-        out = np.asarray(packed)
+        if prof:
+            t1 = _time.time()
+            jax.block_until_ready(packed)
+            t_dev = _time.time() - t1
+            t1 = _time.time()
+            out = np.asarray(packed)
+            t_pull = _time.time() - t1
+            print(f"[THOR_PROF] frame {dec.rec.frame_num}: "
+                  f"prep={t_prep:.3f}s segs={len(seg_list)} "
+                  f"dev={t_dev:.3f}s pull={t_pull:.3f}s")
+        else:
+            out = np.asarray(packed)
         rec = dec.rec
         rec.y[:] = out[:H].astype(rec.dtype)
         rec.u[:] = out[H:, :Wc].astype(rec.dtype)
