@@ -80,6 +80,23 @@ def test_turbo_roundtrip_default(monkeypatch):
     assert b"".join(frames) == rec
 
 
+def test_turbo_he_cdef_dedup_roundtrip(monkeypatch):
+    """HE preset family with CDEF on (the north-star config shape).
+
+    Gradient+low-noise content makes the CDEF joint strength search
+    dedup to fewer uniques than the frame-header placeholder
+    (enc/encode_frame.c:686 vs :434-438) - the reference's latent
+    header-shrink bug.  Turbo pads the strengths back to the
+    placeholder count (filters_rdo._cdef_pick_and_emit) so the stream
+    must always round-trip."""
+    kw = dict(early_skip_thr=0.3, enable_tb_split=1, enable_pb_split=1,
+              max_num_ref=4, intra_rdo=1, enable_bipred=1, cdef=2,
+              clpf=0, encoder_speed=0)
+    yuv, bs, rec = _turbo_encode(128, 96, 2, 3, monkeypatch, **kw)
+    _, frames = decode_stream(bs)
+    assert b"".join(frames) == rec
+
+
 def test_turbo_native_emit_matches_python(monkeypatch):
     """The C plan/emit passes (enc/turbo_native.py + _native/blockemit.c)
     must be byte-identical with the Python walk + emitter."""

@@ -343,6 +343,11 @@ long emit_frame_turbo(parse_ctx_t *c, bw_t *w, const turbo_emit_t *t)
                                           r[E_ILANE]) * 3;
             cbp_y = cb[0]; cbp_u = cb[1]; cbp_v = cb[2];
         } else if (mode == MODE_INTER) {
+            /* PU partition code precedes the MVs when pb_split is
+             * enabled (enc/write_bits.c:405-406); turbo always codes
+             * PART_NONE */
+            if (c->pb_split)
+                put_vlc(w, 13, 0);
             emit_mv(w, r[B_MV0], r[B_MV0 + 1], r[E_MVPY], r[E_MVPX]);
         } else if (mode == MODE_BIPRED) {
             int mvpy = r[E_MVPY], mvpx = r[E_MVPX];

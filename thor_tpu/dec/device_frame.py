@@ -146,19 +146,18 @@ def _intra_waves(y_pl, u_pl, v_pl, segs, segcls, res_y, res_u, res_v,
             ur, dl = nd[:, 5] > 0, nd[:, 6] > 0
             l, t, tl = IB.make_refs_batch(y_pl, yy, xx, n, ur, dl, bd)
             preds = IB.predict_all_modes(l, t, tl, yy, xx, n, bd, 10)
-            pred = jnp.take_along_axis(
-                preds, mode[None, :, None, None], axis=0)[0]
+            pred = IB.select_mode(preds, mode)
             rec = jnp.clip(_slices(res_y, yy, xx, n) + _pred16(pred), 0,
                            maxv)
             yc, xc = yy >> 1, xx >> 1
             lu, tu, tlu = IB.make_refs_batch(u_pl, yc, xc, nc, ur, dl, bd)
-            pu = jnp.take_along_axis(
+            pu = IB.select_mode(
                 IB.predict_all_modes(lu, tu, tlu, yc, xc, nc, bd, 10),
-                mode[None, :, None, None], axis=0)[0]
+                mode)
             lv, tv, tlv = IB.make_refs_batch(v_pl, yc, xc, nc, ur, dl, bd)
-            pv = jnp.take_along_axis(
+            pv = IB.select_mode(
                 IB.predict_all_modes(lv, tv, tlv, yc, xc, nc, bd, 10),
-                mode[None, :, None, None], axis=0)[0]
+                mode)
             if cfl:
                 pu, pv = jax.vmap(
                     lambda p_, u_, v_, r_: _cfl_j(p_, u_, v_, r_, n, bd))(
@@ -589,9 +588,14 @@ class DeviceFrameDecoder:
             t1 = _time.time()
             out = np.asarray(packed)
             t_pull = _time.time() - t1
+            import sys as _sys
+            # stderr, never stdout: decoder stdout is byte-identical to
+            # the reference oracle (cli.py) and must stay that way even
+            # under THOR_PROF=1
             print(f"[THOR_PROF] frame {dec.rec.frame_num}: "
                   f"prep={t_prep:.3f}s segs={len(seg_list)} "
-                  f"dev={t_dev:.3f}s pull={t_pull:.3f}s")
+                  f"dev={t_dev:.3f}s pull={t_pull:.3f}s",
+                  file=_sys.stderr, flush=True)
         else:
             out = np.asarray(packed)
         rec = dec.rec

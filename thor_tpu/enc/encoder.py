@@ -1363,8 +1363,15 @@ class Encoder:
         if getattr(self, "turbo", False):
             from . import turbo
             if turbo.turbo_supported(self):
-                turbo.encode_frame_turbo(self)
-                return self._encode_frame_tail(qp)
+                # marks the frame for the CDEF anti-shrink guard in
+                # filters_rdo._cdef_pick_and_emit (turbo streams must
+                # always decode; see the comment there)
+                self._turbo_frame = True
+                try:
+                    turbo.encode_frame_turbo(self)
+                    return self._encode_frame_tail(qp)
+                finally:
+                    self._turbo_frame = False
         for k in range(nsv):
             for l in range(nsh):
                 fi.mvcand = self.mvcand

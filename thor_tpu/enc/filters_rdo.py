@@ -373,6 +373,22 @@ def _cdef_pick_and_emit(enc, mse0, mse1, ci_index, speed, nfh, nfv):
             uv_strengths[j] = (lst[i2] >> 8) & 255
             j += 1
     nb_strength_bits = log2i(j)
+    if getattr(enc, "_turbo_frame", False) and nb_strength_bits < i:
+        # The reference's dedup reduction (enc/encode_frame.c:434-438)
+        # shrinks the patched cdef header below the placeholder written
+        # at frame-header time (enc/encode_frame.c:686), leaving stale
+        # placeholder bits between the cdef field and the block data -
+        # an undecodable stream (the reference's own latent bug; its
+        # random-content check.sh never dedups).  The exact host path
+        # keeps the behaviour for byte-parity with Thorenc; turbo
+        # streams must always DECODE, so pad the strength list back to
+        # the placeholder count with duplicates (compliant syntax, the
+        # padded entries are simply never selected).
+        while j < (1 << i):
+            strengths[j] = strengths[j - 1]
+            uv_strengths[j] = uv_strengths[j - 1]
+            j += 1
+        nb_strength_bits = i
     nb_strengths = 1 << nb_strength_bits
 
     # assign best preset per fb + emit bits

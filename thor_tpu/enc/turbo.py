@@ -48,23 +48,55 @@ _LOWPASS_K = np.array([[0, 1, 1, 0], [1, 2, 2, 1],
                        [1, 2, 2, 1], [0, 1, 1, 0]], np.int32)
 
 
-def turbo_supported(enc) -> bool:
+def turbo_reject_reason(enc):
+    """Name of the first parameter that forces the host path, or None.
+
+    pb_split presets are supported (every *_high_efficiency config sets
+    -enable_pb_split 1): turbo codes pb_part=NONE on every inter block
+    (one VLC-13 code, enc/write_bits.c:405-406), which is fully
+    compliant syntax; the HOR/VER/QUAD partition *search* remains a
+    host-path RD refinement."""
     p = enc.params
     fi = enc.fi
-    if not (p.subsample == 420 and p.bitdepth in (8, 10, 12) and
-            p.input_bitdepth <= p.bitdepth and
-            not p.enable_pb_split and
-            p.bitrate == 0 and p.max_delta_qp == 0 and
-            not p.sync and p.log2_sb_size == 7 and
-            p.width % 8 == 0 and p.height % 8 == 0):
-        return False
+    for cond, name in (
+            (p.subsample == 420, "subsample!=420"),
+            (p.bitdepth in (8, 10, 12), "bitdepth"),
+            (p.input_bitdepth <= p.bitdepth, "input_bitdepth>bitdepth"),
+            (p.bitrate == 0, "bitrate (rate control)"),
+            (p.max_delta_qp == 0, "max_delta_qp"),
+            (not p.sync, "sync"),
+            (p.log2_sb_size == 7, "log2_sb_size!=7"),
+            (p.width % 8 == 0 and p.height % 8 == 0, "size%8"),
+    ):
+        if not cond:
+            return name
     if fi.frame_type in (I_FRAME, P_FRAME):
-        return True
+        return None
     # B frames (RA/HDB families): uni per list + bipred + approximate
     # skip decisions; interp_ref=1 streams use the interpolated frame
     # as the skip/zero reference (interp_ref=2's temporal-MV skip mode
     # is host-path only)
-    return fi.frame_type == B_FRAME and p.interp_ref <= 1
+    if fi.frame_type == B_FRAME and p.interp_ref > 1:
+        return "interp_ref=2 (B frames)"
+    return None
+
+
+def turbo_supported(enc) -> bool:
+    import sys
+    reason = turbo_reject_reason(enc)
+    if reason is None:
+        return True
+    # LOUD fallback: a user asking for THOR_TURBO must never silently
+    # get the ~100x slower host path
+    if not getattr(enc, "_turbo_warned", False):
+        print(f"thor_tpu: THOR_TURBO unavailable for this frame "
+              f"(rejecting parameter: {reason}); falling back to the "
+              f"exact host encoder (much slower)", file=sys.stderr)
+        try:
+            enc._turbo_warned = True
+        except AttributeError:
+            pass
+    return False
 
 
 # ---------------------------------------------------------------------------
@@ -286,7 +318,7 @@ def _zz_fwd(qsize: int):
     return jnp.asarray(perm)
 
 
-def _trial_bits_ssd(ot, pred, qp: int, s: int, intra: bool, bd: int):
+def _trial_bits_ssd(ot, pred, qp, s: int, intra: bool, bd: int):
     """Trial encode: residual -> transform -> quantize -> bits + recon
     SSD (enc/encode_block.c:1340-1514 single-TB path)."""
     res = ot - pred
@@ -306,25 +338,28 @@ def _trial_bits_ssd(ot, pred, qp: int, s: int, intra: bool, bd: int):
     return ssd, bits, cbp
 
 
-def _dequant_j(q, qp: int, s: int):
-    """Unweighted dequantize (common_block.c:45-73), static qp."""
+def _dequant_j(q, qp, s: int):
+    """Unweighted dequantize (common_block.c:45-73); qp may be traced
+    (one compiled kernel per size, shared across the QP ladder)."""
     from ..tables import GDEQUANT
     qs = min(16, s)
+    qp = jnp.asarray(qp, I32)
     lshift = qp // 6
     rshift = log2i(s) - 1
-    scale = int(GDEQUANT[qp % 6])
+    scale = jnp.asarray(np.asarray(GDEQUANT, np.int32))[qp % 6]
     c = q * scale
-    if lshift >= rshift:
-        r = c << (lshift - rshift)
-    else:
-        r = (c + (1 << (rshift - lshift - 1))) >> (rshift - lshift)
+    d = lshift - rshift
+    dpos = jnp.maximum(d, 0)
+    dneg = jnp.maximum(-d, 0)
+    bias = jnp.where(d < 0, I32(1) << jnp.maximum(dneg - 1, 0), 0)
+    r = jnp.where(d >= 0, c << dpos, (c + bias) >> dneg)
     r = ((r << 16) >> 16)
     out = jnp.zeros((q.shape[0], s, s), I32)
     return out.at[:, :qs, :qs].set(r)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "s", "qp", "bd"))
-def eval_inter(org, reff, mv_s, lam, qp: int, H: int, W: int, s: int,
+@partial(jax.jit, static_argnames=("H", "W", "s", "bd"))
+def eval_inter(org, reff, mv_s, lam, qp, H: int, W: int, s: int,
                bd: int):
     """Inter cost at size s for every block: exact MC pred, trial
     transform/quant, coeff+mv bits, recon SSD."""
@@ -375,8 +410,8 @@ def eval_skip(org, reff, mv_s, lam, H: int, W: int, s: int, bd: int):
     return best, jnp.stack([bmy, bmx], -1)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "s", "qp", "bd"))
-def eval_intra(orgp, org, lam, qp: int, H: int, W: int, s: int, bd: int):
+@partial(jax.jit, static_argnames=("H", "W", "s", "bd"))
+def eval_intra(orgp, org, lam, qp, H: int, W: int, s: int, bd: int):
     """Intra cost at size s: 4-mode search on ORG-neighbour reference
     samples (decision approximation; the final encode re-derives coeffs
     from true reconstructed neighbours)."""
@@ -390,15 +425,14 @@ def eval_intra(orgp, org, lam, qp: int, H: int, W: int, s: int, bd: int):
     sads = jnp.stack([jnp.abs(preds[m] - ot).sum(axis=(1, 2))
                       for m in range(4)])
     mode = jnp.argmin(sads, axis=0)
-    pred = jnp.take_along_axis(
-        preds, mode[None, :, None, None], axis=0)[0]
+    pred = IB.select_mode(preds, mode)
     ssd, bits, cbp = _trial_bits_ssd(ot, pred, qp, s, True, bd)
     cost = ssd.astype(jnp.float32) + lam * (bits + 5).astype(jnp.float32)
     return cost, mode.astype(I32)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "s", "qp", "bd"))
-def eval_bipred(org, reffA, reffB, mvAs, mvBs, lam, qp: int, H: int,
+@partial(jax.jit, static_argnames=("H", "W", "s", "bd"))
+def eval_bipred(org, reffA, reffB, mvAs, mvBs, lam, qp, H: int,
                 W: int, s: int, bd: int):
     """Bipred cost at size s: average of the two uni predictions (decision
     approximation of the bipred filter pair), trial transform/quant bits.
@@ -661,7 +695,7 @@ def encode_frame_turbo(enc):
         bi.qp = qp
         bi.delta_qp = 0
         bi.max_num_tb_part = 2 if p.enable_tb_split == 1 else 1
-        bi.max_num_pb_part = 1
+        bi.max_num_pb_part = 4 if p.enable_pb_split else 1
         bi.lambda_ = fi.lambda_coeff * SQUARED_LAMBDA_QP[qp]
         bi.best = None
         bi.rec = None

@@ -170,21 +170,20 @@ def _enc_intra_waves(y_pl, u_pl, v_pl, org_y, org_u, org_v, segs, segcls,
             L = yy.shape[0]
             l, t, tl = IB.make_refs_batch(y_pl, yy, xx, n, ur, dl, bd)
             preds = IB.predict_all_modes(l, t, tl, yy, xx, n, bd, 10)
-            pred = jnp.take_along_axis(
-                preds, mode[None, :, None, None], axis=0)[0]
+            pred = IB.select_mode(preds, mode)
             cqy, cby, rec = _plane_enc(
                 _slices(org_y, yy, xx, n), pred, n, qp,
                 wm=qm["fiy"][n] if qm else None,
                 iw=qm["iiy"][n] if qm else None)
             yc, xc = yy >> 1, xx >> 1
             lu, tu, tlu = IB.make_refs_batch(u_pl, yc, xc, nc, ur, dl, bd)
-            pu = jnp.take_along_axis(
+            pu = IB.select_mode(
                 IB.predict_all_modes(lu, tu, tlu, yc, xc, nc, bd, 10),
-                mode[None, :, None, None], axis=0)[0]
+                mode)
             lv, tv, tlv = IB.make_refs_batch(v_pl, yc, xc, nc, ur, dl, bd)
-            pv = jnp.take_along_axis(
+            pv = IB.select_mode(
                 IB.predict_all_modes(lv, tv, tlv, yc, xc, nc, bd, 10),
-                mode[None, :, None, None], axis=0)[0]
+                mode)
             if cfl:
                 pu, pv = jax.vmap(
                     lambda p_, u_, v_, r_: _cfl_j(p_, u_, v_, r_, n, bd))(
@@ -310,13 +309,17 @@ def _qm_operands(enc, qp):
 
 @partial(jax.jit, static_argnames=(
     "H", "W", "bd", "pad", "pad_c", "has_inter", "has_avg", "cfl",
-    "qp", "qpc", "is_i", "speed", "has_qm"))
+    "is_i", "speed", "has_qm"))
 def finalize_core(org_y, org_u, org_v, ystack, ustack, vstack, gstack,
                   cstack, q4y, q4c, segs, segcls, qm, H: int, W: int,
                   bd: int, pad: int, pad_c: int, has_inter: bool,
-                  has_avg: bool, cfl: bool, qp: int, qpc: int,
-                  is_i: bool, speed: int, has_qm: bool = False):
+                  has_avg: bool, cfl: bool, qp=32, qpc=32,
+                  is_i: bool = False, speed: int = 2,
+                  has_qm: bool = False):
     """One dispatch: MC pred + fwd quantize + recon + intra waves.
+
+    qp/qpc are traced scalars: one compiled program serves the whole
+    GOP QP ladder (I/P-HQ/P/B-level QPs) instead of one per level.
 
     Returns (packed i16 [H+H/2+hp+hc, max(W,wp)] buffer holding rec_y,
     rec_u|rec_v, coefq_y, coefq_u|coefq_v, and the intra coeff stacks).
@@ -532,7 +535,7 @@ def plan_frame(enc, dec):
         bi.qp = qp
         bi.delta_qp = 0
         bi.max_num_tb_part = 2 if p.enable_tb_split == 1 else 1
-        bi.max_num_pb_part = 1
+        bi.max_num_pb_part = 4 if p.enable_pb_split else 1
         bi.lambda_ = fi.lambda_coeff * SQUARED_LAMBDA_QP[qp]
         bi.best = None
         bi.mvp = (0, 0)

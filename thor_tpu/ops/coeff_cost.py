@@ -64,12 +64,26 @@ def len_vlc0_signed(level, sign_neg):
     return len_vlc01(jnp.zeros_like(cn), cn)
 
 
+def _gather8(tbl, sel):
+    """tbl[..., sel] for an 8-entry last axis, as a select chain.
+
+    take_along_axis lowers to a lane-crossing dynamic gather, which the
+    TPU executes (de)vectorized - it dominated the whole decide pass
+    (~540 ms/frame at 1080p just for this op).  Eight broadcast selects
+    are pure VPU elementwise work and fuse into the scan.
+    """
+    r = tbl[..., 0:1]
+    for k in range(1, 8):
+        r = jnp.where(sel == k, tbl[..., k:k + 1], r)
+    return r
+
+
 def _compose8(a, b):
     """(next[...,8], bits[...,8]) map composition: a acts first."""
     an, ab = a
     bn, bb = b
-    rn = jnp.take_along_axis(bn, an, axis=-1)
-    rb = ab + jnp.take_along_axis(bb, an, axis=-1)
+    rn = _gather8(bn, an)
+    rb = ab + _gather8(bb, an)
     return rn, rb
 
 

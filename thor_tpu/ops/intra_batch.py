@@ -33,6 +33,20 @@ def filter_121(a):
     return (prev + 2 * a + nxt + 2) >> 2
 
 
+def select_mode(preds, mode):
+    """preds[mode[i], i, ...] without take_along_axis (select chain).
+
+    preds: [M, L, ...] stacked per-mode predictions; mode: [L] int.
+    A dynamic gather along the mode axis devectorizes on TPU; M selects
+    are pure VPU elementwise work that fuses into the surrounding code.
+    """
+    r = preds[0]
+    exp = (slice(None),) + (None,) * (preds.ndim - 2)
+    for k in range(1, preds.shape[0]):
+        r = jnp.where((mode == k)[exp], preds[k], r)
+    return r
+
+
 def make_refs_batch(plane, cb_y, cb_x, size: int, ur, dl, bitdepth: int):
     """Reference samples for whole-CB intra (intra_prediction.c:57-116).
 
@@ -42,7 +56,6 @@ def make_refs_batch(plane, cb_y, cb_x, size: int, ur, dl, bitdepth: int):
     """
     n = size
     half = 128 << (bitdepth - 8)
-    idx = jnp.arange(2 * n, dtype=jnp.int32)
 
     def row_read(y, x):
         return jax.lax.dynamic_slice(plane, (y, x), (1, n + 1))[0]
@@ -56,12 +69,20 @@ def make_refs_batch(plane, cb_y, cb_x, size: int, ur, dl, bitdepth: int):
     lcol = jax.vmap(col_read)(cb_y.astype(jnp.int32), x0)   # [L, n+1]
     tl_px = plane[y0, x0]
 
-    toplen = n + ur.astype(jnp.int32)        # [L]
-    leftlen = n + dl.astype(jnp.int32)
-    top = jnp.take_along_axis(
-        trow, jnp.minimum(idx[None, :], toplen[:, None] - 1), axis=1)
-    left = jnp.take_along_axis(
-        lcol, jnp.minimum(idx[None, :], leftlen[:, None] - 1), axis=1)
+    # edge-clamp replicate without a dynamic gather (take_along_axis
+    # lowers to a lane-crossing gather, hostile on TPU): the clamp index
+    # is n-1 (neighbour unavailable) or n (available) - two selects
+    def _clamp_ext(row, avail):
+        base = jnp.concatenate(
+            [row[:, :n], jnp.broadcast_to(row[:, n - 1:n], (row.shape[0],
+                                                            n))], axis=1)
+        ext = jnp.concatenate(
+            [row[:, :n], jnp.broadcast_to(row[:, n:n + 1], (row.shape[0],
+                                                            n))], axis=1)
+        return jnp.where(avail[:, None], ext, base)
+
+    top = _clamp_ext(trow, ur)
+    left = _clamp_ext(lcol, dl)
 
     top = jnp.where((cb_y == 0)[:, None], half, top)
     left = jnp.where((cb_x == 0)[:, None], half, left)

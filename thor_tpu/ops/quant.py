@@ -35,19 +35,22 @@ def _compose(a, b):
     return r0, r1
 
 
-@partial(jax.jit, static_argnames=("qp", "size", "intra_block", "weighted"))
-def quantize_batch(coeff: jax.Array, qp: int, size: int, intra_block: int,
+@partial(jax.jit, static_argnames=("size", "intra_block", "weighted"))
+def quantize_batch(coeff: jax.Array, qp, size: int, intra_block: int,
                    wmatrix: jax.Array | None = None,
                    weighted: bool = False):
     """Quantize a batch of transform blocks (enc/encode_block.c:84-160).
 
     coeff: [N, qsize, qsize] int16 transform output (qsize = min(16,size)).
+    qp may be a traced scalar (the QP ladder varies per frame; tracing
+    it keeps ONE compiled kernel per size instead of one per QP level).
     Returns (coeffq [N,qsize,qsize] int16, cbp [N] int32 0/1).
     """
     tr_log2size = log2i(size)
     qsize = min(MAX_QUANT_SIZE, size)
     n2 = qsize * qsize
-    scale = int(GQUANT[qp % 6])
+    qp = jnp.asarray(qp, jnp.int32)
+    scale = jnp.asarray(np.asarray(GQUANT, np.int32))[qp % 6]
     shift2 = 21 - tr_log2size + qp // 6 + (WEIGHT_SHIFT if weighted else 0)
     zz, inv = _zz_perms(qsize)
     inv_j = jnp.asarray(inv)
