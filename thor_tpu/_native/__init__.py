@@ -28,16 +28,23 @@ def _build():
 
 
 def get_lib():
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed) the native library, or None.
+
+    THOR_NATIVE_SO overrides the library path (used by the fuzz harness
+    to load a sanitizer-instrumented build, tools/fuzz_parse.py)."""
     global _lib
     if _lib is not None:
         return _lib
     try:
-        src_mtime = max(os.path.getmtime(s) for s in _SRCS
-                        if os.path.exists(s))
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
-            _build()
-        _lib = ctypes.CDLL(_SO)
+        override = os.environ.get("THOR_NATIVE_SO")
+        if override:
+            _lib = ctypes.CDLL(override)
+        else:
+            src_mtime = max(os.path.getmtime(s) for s in _SRCS
+                            if os.path.exists(s))
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
+                _build()
+            _lib = ctypes.CDLL(_SO)
         _lib.get_vlc.restype = ctypes.c_int
         _lib.parse_frame.restype = ctypes.c_long
         _lib.parse_frame.argtypes = [ctypes.POINTER(ParseCtx)]
@@ -138,6 +145,7 @@ class TurboPlan(ctypes.Structure):
         ("is_b", ctypes.c_int32), ("r0i", ctypes.c_int32),
         ("r1i", ctypes.c_int32), ("qp", ctypes.c_int32),
         ("qpc", ctypes.c_int32),
+        ("tb", _i32p * 5),
     ]
 
 

@@ -49,6 +49,9 @@ typedef struct {
     const int32_t *imode[5];     /* [n] intra mode */
     int32_t gw[5];               /* decision-grid width in blocks */
     int32_t is_b, r0i, r1i, qp, qpc;
+    /* decided tb_split flags per size (HE presets), or NULL:
+     * bit0 inter(list0), bit1 inter(list1), bit2 bipred */
+    const int32_t *tb[5];
 } turbo_plan_t;
 
 static int32_t *next_rec(parse_ctx_t *c)
@@ -61,9 +64,11 @@ static int32_t *next_rec(parse_ctx_t *c)
 }
 
 static void mark_qp4(parse_ctx_t *c, int ypos, int xpos, int size,
-                     int qp, int qpc)
+                     int qp, int qpc, int tb)
 {
-    int ls = eilog2(size);
+    /* tb_split halves the TB size (luma always; chroma unless it would
+     * drop below 4x4, i.e. 8-blocks keep one 4x4 chroma TB) */
+    int ls = eilog2(size) - (tb ? 1 : 0);
     for (int i = 0; i < size / 4; i++) {
         long row = ((long)(ypos / 4) + i) * c->q4y_stride + xpos / 4;
         for (int j = 0; j < size / 4; j++) {
@@ -72,7 +77,7 @@ static void mark_qp4(parse_ctx_t *c, int ypos, int xpos, int size,
         }
     }
     int sC = size >> 1, yC = ypos >> 1, xC = xpos >> 1;
-    int lsC = eilog2(sC);
+    int lsC = eilog2(sC) - ((tb && sC > 4) ? 1 : 0);
     for (int i = 0; i < sC / 4; i++) {
         long row = ((long)(yC / 4) + i) * c->q4c_stride + xC / 4;
         for (int j = 0; j < sC / 4; j++) {
@@ -146,6 +151,8 @@ static void plan_walk(parse_ctx_t *c, const turbo_plan_t *t, int size,
          * with sign=1, which negates the emitted vector) */
         int mvpy, mvpx;
         get_mv_pred(c, ypos, xpos, size, &mvpy, &mvpx);
+        if (t->tb[si])
+            r[B_TBSPLIT] = (t->tb[si][flat] >> 2) & 1;
         r[B_MODE] = MODE_BIPRED;
         r[B_REF0] = t->r0i; r[B_REF1] = t->r1i; r[B_DIR] = 2;
         r[E_MVPY] = mvpy; r[E_MVPX] = mvpx;
@@ -166,10 +173,14 @@ static void plan_walk(parse_ctx_t *c, const turbo_plan_t *t, int size,
             mvy = -t->mv_int1[si][2 * flat];
             mvx = -t->mv_int1[si][2 * flat + 1];
             ridx = t->r1i;
+            if (t->tb[si])
+                r[B_TBSPLIT] = (t->tb[si][flat] >> 1) & 1;
         } else {
             mvy = t->mv_int[si][2 * flat];
             mvx = t->mv_int[si][2 * flat + 1];
             ridx = t->is_b ? t->r0i : 0;
+            if (t->tb[si])
+                r[B_TBSPLIT] = t->tb[si][flat] & 1;
         }
         r[B_MODE] = MODE_INTER;
         /* ref_idx1 mirrors ref_idx0 (read_block sets both to the
@@ -187,7 +198,7 @@ static void plan_walk(parse_ctx_t *c, const turbo_plan_t *t, int size,
         r[B_MODE] == MODE_BIPRED)
         plan_block(c, r);
     if (r[B_MODE] == MODE_INTER || r[B_MODE] == MODE_BIPRED)
-        mark_qp4(c, ypos, xpos, size, t->qp, t->qpc);
+        mark_qp4(c, ypos, xpos, size, t->qp, t->qpc, r[B_TBSPLIT]);
     /* geometry/mv deblock fill (cbp still 0 here; corrected in pass 2)
      * so later candidate derivation sees the coded state */
     copy_deblock_data(c, r);
@@ -371,7 +382,70 @@ long emit_frame_turbo(parse_ctx_t *c, bw_t *w, const turbo_emit_t *t)
             else if (n == 2) bw_putbits_x(w, 1, (uint32_t)r[B_SKIP_IDX]);
         }
 
-        if (mode != MODE_SKIP) {
+        if (mode != MODE_SKIP && r[B_TBSPLIT]) {
+            /* tb_split=1: cbp/tb code = off (2 for non-merge), then
+             * per-quadrant cbp + coefficient scans
+             * (enc/write_bits.c:505-560, writer.py tb branch) */
+            put_vlc(w, 0, 2);
+            long dy0 = (long)ypos * c->dcy_stride + xpos;
+            long dc0 = (long)(ypos >> 1) * c->dcc_stride + (xpos >> 1);
+            int s2 = size >> 1;
+            int qs2 = s2 < MAX_QUANT ? s2 : MAX_QUANT;
+            int16_t scy[MAX_QUANT * MAX_QUANT];
+            int16_t scu[MAX_QUANT * MAX_QUANT];
+            int16_t scv[MAX_QUANT * MAX_QUANT];
+            cbp_y = cbp_u = cbp_v = 0;
+            if (sC > 4) {
+                int sC2 = sC >> 1;
+                int qsc2 = sC2 < MAX_QUANT ? sC2 : MAX_QUANT;
+                int vlc10 = sC2 <= 8;
+                for (int idx = 0; idx < 4; idx++) {
+                    const int16_t *py = c->dcoef_y + dy0 +
+                        (long)(idx >> 1) * s2 * c->dcy_stride +
+                        (idx & 1) * s2;
+                    const int16_t *pu = c->dcoef_u + dc0 +
+                        (long)(idx >> 1) * sC2 * c->dcc_stride +
+                        (idx & 1) * sC2;
+                    const int16_t *pv = c->dcoef_v + dc0 +
+                        (long)(idx >> 1) * sC2 * c->dcc_stride +
+                        (idx & 1) * sC2;
+                    int ay = zz_scan(c, py, c->dcy_stride, qs2, scy);
+                    int au = zz_scan(c, pu, c->dcc_stride, qsc2, scu);
+                    int av = zz_scan(c, pv, c->dcc_stride, qsc2, scv);
+                    int cbp = ay + (au << 1) + (av << 2);
+                    int code = cbp_code_tab[cbp];
+                    if (cbp_ctx == 0 && code < 2)
+                        code = 1 - code;
+                    put_vlc(w, 0, (unsigned)code);
+                    if (ay) write_coeff_scan(w, scy, qs2, 0, 0);
+                    if (au) write_coeff_scan(w, scu, qsc2, 1, vlc10);
+                    if (av) write_coeff_scan(w, scv, qsc2, 1, vlc10);
+                    cbp_y = (cbp_y << 1) + ay;
+                    cbp_u = (cbp_u << 1) + au;
+                    cbp_v = (cbp_v << 1) + av;
+                }
+            } else {
+                /* size 8: luma 4x4 quadrants, chroma unsplit 4x4 */
+                for (int idx = 0; idx < 4; idx++) {
+                    const int16_t *py = c->dcoef_y + dy0 +
+                        (long)(idx >> 1) * s2 * c->dcy_stride +
+                        (idx & 1) * s2;
+                    int ay = zz_scan(c, py, c->dcy_stride, qs2, scy);
+                    bw_putbits_x(w, 1, (uint32_t)(ay != 0));
+                    if (ay) write_coeff_scan(w, scy, qs2, 0, 0);
+                    cbp_y = (cbp_y << 1) + ay;
+                }
+                int au = zz_scan(c, c->dcoef_u + dc0, c->dcc_stride,
+                                 qsc, scu);
+                int av = zz_scan(c, c->dcoef_v + dc0, c->dcc_stride,
+                                 qsc, scv);
+                put_vlc(w, 13, (unsigned)(au + 2 * av));
+                if (au) write_coeff_scan(w, scu, qsc, 1, 1);
+                if (av) write_coeff_scan(w, scv, qsc, 1, 1);
+                cbp_u = au;
+                cbp_v = av;
+            }
+        } else if (mode != MODE_SKIP) {
             if (mode != MODE_INTRA) {
                 cy = c->dcoef_y + (long)ypos * c->dcy_stride + xpos;
                 cu = c->dcoef_u + (long)(ypos >> 1) * c->dcc_stride +
@@ -397,8 +471,8 @@ long emit_frame_turbo(parse_ctx_t *c, bw_t *w, const turbo_emit_t *t)
             if (cbp_ctx == 0 && code < 2)
                 code = 1 - code;
             /* tb-split-capable presets widen the cbp code space
-             * (enc/write_bits.c:505-516; turbo always codes
-             * tb_split=0, so only the >=off shift applies) */
+             * (enc/write_bits.c:505-516): tb_split=0 codes shift past
+             * the tb_split slot */
             if (c->tb_split_enable == 1 && code >= 2)
                 code += 1;
             put_vlc(w, 0, (unsigned)code);

@@ -1253,6 +1253,9 @@ class Decoder:
         self.rec.frame_num = fi.display_frame_num
 
         if fi.num_ref > 2 and fi.ref_array[0] == -1:
+            # temporal interpolation reads host reference pixels:
+            # resolve any in-flight fused frame first
+            self.flush_pixels()
             from ..ops.tempinterp import \
                 interpolate_frames_auto as interpolate_frames
             ref1 = self.ref[fi.ref_array[1]]
@@ -1327,15 +1330,18 @@ class Decoder:
                     fused.run(self, s, blks, plan, refs)
                     filters_done = True
                 elif plan_gate:
+                    self.flush_pixels()  # host-pixel consumer below
                     from . import device_pixels as DP
                     ex = getattr(self, "plan_executor", None) or DP.execute
                     ex(self, plan, slots, refs)
                     self._exec_intra_records(blks, tbs, coef)
                 else:
+                    self.flush_pixels()
                     self._exec_records_host(blks, tbs, coef)
 
         if native_res is None:
             # Python walk (fallback / ground truth)
+            self.flush_pixels()
             if plan_gate:
                 from . import device_pixels as DP
                 self._plan = DP.FramePlan(self.width, self.height)
@@ -1373,11 +1379,21 @@ class Decoder:
             else:
                 self._loop_filters_spec(s, qp)
 
-        # reference sliding window
+        # reference sliding window; when the fused frame is still in
+        # flight the host copy is deferred to its flush (the device ring
+        # already holds the padded reference planes)
         tmp = self.ref[MAX_REF_FRAMES - 1]
         self.ref[1:] = self.ref[:-1]
         self.ref[0] = tmp
-        self.ref[0].copy_from(self.rec)
+        if not (self._device_frame is not None and
+                self._device_frame.note_ref(self.ref[0], self.rec)):
+            self.ref[0].copy_from(self.rec)
+
+    def flush_pixels(self):
+        """Resolve any in-flight fused-frame pull (pipelined decode)."""
+        df = getattr(self, "_device_frame", None)
+        if df is not None:
+            df.flush()
 
     def _loop_filters_spec(self, s: BitReader, qp: int):
         """Numpy spec-layer loop filters (ground truth, slow)."""
@@ -1580,13 +1596,22 @@ def decode_stream(data: bytes, progress=None, decoder_hook=None):
     outputs = {}
     n = 0
     bitcnt = 0
+    pend_out = None
     while s is not None:
         dec.decode_frame(s, n)
-        outputs[dec.fi.display_frame_num] = dec.rec.to_bytes()
+        # output deferred ONE frame: the fused executor leaves frame N's
+        # pull in flight while the host parses and dispatches N+1; by
+        # the time decode_frame(N+1) returns, N is resolved
+        if pend_out is not None:
+            outputs[pend_out[0]] = pend_out[1].to_bytes()
+        pend_out = (dec.fi.display_frame_num, dec.rec)
         bitcnt += s.bitcnt
         if progress:
             progress(n, dec.fi.display_frame_num, bitcnt)
         n += 1
         s = fur.next_frame()
+    dec.flush_pixels()
+    if pend_out is not None:
+        outputs[pend_out[0]] = pend_out[1].to_bytes()
     header.bit_count = dec.bc  # for the CLI statistics report
     return header, [outputs[k] for k in sorted(outputs)]

@@ -418,10 +418,44 @@ def filter_pack(y, u, v, mv_, mh_, cmv, cmh, lv0, sec0, m0, lv1, sec1,
 # ---------------------------------------------------------------------------
 
 class DeviceFrameDecoder:
-    """Per-stream device state: resident reference ring + fused dispatch."""
+    """Per-stream device state: resident reference ring + fused dispatch.
+
+    Frame pipelining: run() leaves the packed display pull IN FLIGHT
+    (self._pending) so the host can parse/plan frame N+1 while the
+    device executes frame N (the syntax layer has no pixel dependence,
+    dec/decode_frame.c:52-212).  flush() resolves the pull; the decoder
+    calls it before any host-pixel consumer (tempinterp, host-path
+    fallbacks, output writing)."""
 
     def __init__(self):
         self.ring = OrderedDict()   # frame_num -> (y, u, v) device planes
+        self._pending = None        # (packed, rec, H, W, Wc)
+        self._late = []             # deferred ref-window host copies
+
+    def _resolve(self, pend):
+        packed, rec, H, W, Wc = pend
+        out = np.asarray(packed)
+        rec.y[:] = out[:H].astype(rec.dtype)
+        rec.u[:] = out[H:, :Wc].astype(rec.dtype)
+        rec.v[:] = out[H:, Wc:].astype(rec.dtype)
+        lates = [l for l in self._late if l[1] is rec]
+        self._late = [l for l in self._late if l[1] is not rec]
+        for dst, src in lates:
+            dst.copy_from(src)
+
+    def flush(self):
+        """Resolve the in-flight frame (no-op when none)."""
+        if self._pending is not None:
+            p, self._pending = self._pending, None
+            self._resolve(p)
+
+    def note_ref(self, dst, src):
+        """Defer `dst.copy_from(src)` until src's pixels are pulled.
+        Returns True when deferred (src is the in-flight frame)."""
+        if self._pending is not None and self._pending[1] is src:
+            self._late.append((dst, src))
+            return True
+        return False
 
     def _ref_planes(self, dec, r):
         """Device planes for one reference frame (ring hit or upload)."""
@@ -582,6 +616,8 @@ class DeviceFrameDecoder:
             self.ring.popitem(last=False)
 
         if prof:
+            # profiling mode keeps the pull synchronous so stage times
+            # attribute to the frame that caused them
             t1 = _time.time()
             jax.block_until_ready(packed)
             t_dev = _time.time() - t1
@@ -596,9 +632,15 @@ class DeviceFrameDecoder:
                   f"prep={t_prep:.3f}s segs={len(seg_list)} "
                   f"dev={t_dev:.3f}s pull={t_pull:.3f}s",
                   file=_sys.stderr, flush=True)
-        else:
-            out = np.asarray(packed)
-        rec = dec.rec
-        rec.y[:] = out[:H].astype(rec.dtype)
-        rec.u[:] = out[H:, :Wc].astype(rec.dtype)
-        rec.v[:] = out[H:, Wc:].astype(rec.dtype)
+            self.flush()
+            rec = dec.rec
+            rec.y[:] = out[:H].astype(rec.dtype)
+            rec.u[:] = out[H:, :Wc].astype(rec.dtype)
+            rec.v[:] = out[H:, Wc:].astype(rec.dtype)
+            return
+        # pipelined: leave this frame's pull in flight, resolve the
+        # previous one (its device work overlapped this frame's host
+        # parse/plan, and frame N+1's dispatch is already queued)
+        prev, self._pending = self._pending, (packed, dec.rec, H, W, Wc)
+        if prev is not None:
+            self._resolve(prev)

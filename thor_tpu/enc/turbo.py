@@ -338,6 +338,34 @@ def _trial_bits_ssd(ot, pred, qp, s: int, intra: bool, bd: int):
     return ssd, bits, cbp
 
 
+def _trial_bits_ssd_tb1(ot, pred, qp, s: int, bd: int):
+    """Trial encode with tb_split=1: four s/2 quadrant TBs per block
+    (enc/encode_block.c:1275-1313).  Returns (ssd, bits) summed over the
+    quadrants.  Quadrant order (0,0),(0,s/2),(s/2,0),(s/2,s/2)."""
+    s2 = s // 2
+    N = ot.shape[0]
+
+    def quads(x):
+        return (x.reshape(N, 2, s2, 2, s2).transpose(0, 1, 3, 2, 4)
+                .reshape(N * 4, s2, s2))
+
+    res = quads(ot - pred)
+    co = fwd_transform_batch(res, s2, False, bd)
+    q, cbp = quantize_batch(co.astype(jnp.int16), qp, s2, 0)
+    qs = min(16, s2)
+    sc = jnp.take(q.reshape(q.shape[0], qs * qs).astype(jnp.int32),
+                  _zz_fwd(qs), axis=1)
+    bits = jnp.where(cbp != 0,
+                     coeff_bits_batch(sc, s2, 0, 0), 0)
+    rq = _dequant_j(q.astype(jnp.int32), qp, s2)
+    rec = jnp.clip(quads(pred) + inv_transform_batch(rq, s2, bd), 0,
+                   (1 << bd) - 1)
+    d = quads(ot) - rec
+    ssd = (d * d).sum(axis=(1, 2))
+    return (ssd.reshape(N, 4).sum(axis=1),
+            bits.reshape(N, 4).sum(axis=1))
+
+
 def _dequant_j(q, qp, s: int):
     """Unweighted dequantize (common_block.c:45-73); qp may be traced
     (one compiled kernel per size, shared across the QP ladder)."""
@@ -358,11 +386,14 @@ def _dequant_j(q, qp, s: int):
     return out.at[:, :qs, :qs].set(r)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "s", "bd"))
+@partial(jax.jit, static_argnames=("H", "W", "s", "bd", "tb_trial"))
 def eval_inter(org, reff, mv_s, lam, qp, H: int, W: int, s: int,
-               bd: int):
+               bd: int, tb_trial: bool = False):
     """Inter cost at size s for every block: exact MC pred, trial
-    transform/quant, coeff+mv bits, recon SSD."""
+    transform/quant, coeff+mv bits, recon SSD.  With tb_trial (HE
+    presets, enable_tb_split=1) both tb_split=0 and =1 are trial-encoded
+    and the min is taken (enc/encode_block.c:2031-2049); the returned tb
+    flag drives the finalizer's TB geometry."""
     pad = (reff.shape[0] - H) >> 1
     yy, xx, nh, nw = _grid_pos(H, W, s)
     ot = _org_tiles(org, H, W, s)
@@ -374,9 +405,16 @@ def eval_inter(org, reff, mv_s, lam, qp, H: int, W: int, s: int,
     mvp = jnp.concatenate([jnp.zeros((nh, 1, 2), I32), mvg[:, :-1]],
                           axis=1).reshape(-1, 2)
     mvbits = quote_mv_bits_batch(cy - mvp[:, 0], cx - mvp[:, 1])
-    cost = ssd.astype(jnp.float32) + lam * (bits + mvbits + 6).astype(
-        jnp.float32)
-    return cost, jnp.stack([cy, cx], -1)
+    base = lam * (mvbits + 6).astype(jnp.float32)
+    cost0 = ssd.astype(jnp.float32) + lam * bits.astype(jnp.float32) + base
+    if not tb_trial:
+        return cost0, jnp.stack([cy, cx], -1), jnp.zeros_like(cy)
+    ssd1, bits1 = _trial_bits_ssd_tb1(ot, pred, qp, s, bd)
+    # +8: approximate extra syntax of the three additional cbp codes
+    cost1 = (ssd1.astype(jnp.float32) +
+             lam * (bits1 + 8).astype(jnp.float32) + base)
+    tb = (cost1 < cost0).astype(I32)
+    return jnp.minimum(cost0, cost1), jnp.stack([cy, cx], -1), tb
 
 
 @partial(jax.jit, static_argnames=("H", "W", "s", "bd"))
@@ -431,9 +469,9 @@ def eval_intra(orgp, org, lam, qp, H: int, W: int, s: int, bd: int):
     return cost, mode.astype(I32)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "s", "bd"))
+@partial(jax.jit, static_argnames=("H", "W", "s", "bd", "tb_trial"))
 def eval_bipred(org, reffA, reffB, mvAs, mvBs, lam, qp, H: int,
-                W: int, s: int, bd: int):
+                W: int, s: int, bd: int, tb_trial: bool = False):
     """Bipred cost at size s: average of the two uni predictions (decision
     approximation of the bipred filter pair), trial transform/quant bits.
     List-1 MV bits are quoted against list 0 (enc/write_bits.c:478)."""
@@ -452,9 +490,15 @@ def eval_bipred(org, reffA, reffB, mvAs, mvBs, lam, qp, H: int,
     mvbA = quote_mv_bits_batch(cyA - mvp[:, 0], cxA - mvp[:, 1])
     # emitted list-1 MV is the negated displacement (future ref, sign=1)
     mvbB = quote_mv_bits_batch(-cyB - cyA, -cxB - cxA)
-    cost = ssd.astype(jnp.float32) + lam * (bits + mvbA + mvbB + 8).astype(
-        jnp.float32)
-    return cost
+    base = lam * (mvbA + mvbB + 8).astype(jnp.float32)
+    cost0 = ssd.astype(jnp.float32) + lam * bits.astype(jnp.float32) + base
+    if not tb_trial:
+        return cost0, jnp.zeros_like(cyA)
+    ssd1, bits1 = _trial_bits_ssd_tb1(ot, pred, qp, s, bd)
+    cost1 = (ssd1.astype(jnp.float32) +
+             lam * (bits1 + 8).astype(jnp.float32) + base)
+    tb = (cost1 < cost0).astype(I32)
+    return jnp.minimum(cost0, cost1), tb
 
 
 # ---------------------------------------------------------------------------
@@ -506,7 +550,10 @@ def decide_frame(enc, pull=True):
 
     is_i = fi.frame_type == I_FRAME
     is_b = fi.frame_type == B_FRAME
-    out = {"qp": qp, "is_b": is_b}
+    # real tb-split decisions on the HE presets: trial-encode both TB
+    # geometries per inter/bipred candidate and keep the min
+    tb_on = (p.enable_tb_split == 1) and not is_i
+    out = {"qp": qp, "is_b": is_b, "tb_on": tb_on}
 
     def me_chain(reff, orgh):
         refh = scale2(reff)
@@ -543,19 +590,24 @@ def decide_frame(enc, pull=True):
     for s in SIZES:
         n = (H // s) * (W // s)
         if is_b:
-            ci, mvc = eval_inter(orgj, reffA, mvA[s], lam, qp, H, W, s, bd)
-            ciB, mvcB = eval_inter(orgj, reffB, mvB[s], lam, qp, H, W, s,
-                                   bd)
-            cbi = eval_bipred(orgj, reffA, reffB, mvA[s], mvB[s], lam, qp,
-                              H, W, s, bd)
+            ci, mvc, tb0 = eval_inter(orgj, reffA, mvA[s], lam, qp, H, W,
+                                      s, bd, tb_trial=tb_on)
+            ciB, mvcB, tb1 = eval_inter(orgj, reffB, mvB[s], lam, qp, H,
+                                        W, s, bd, tb_trial=tb_on)
+            cbi, tbb = eval_bipred(orgj, reffA, reffB, mvA[s], mvB[s],
+                                   lam, qp, H, W, s, bd, tb_trial=tb_on)
             cs, mvs = eval_skip(orgj, reffS, mvA[s], lam, H, W, s, bd)
+            tbc = tb0 | (tb1 << 1) | (tbb << 2)
         elif not is_i:
-            ci, mvc = eval_inter(orgj, reff, mv[s], lam, qp, H, W, s, bd)
+            ci, mvc, tb0 = eval_inter(orgj, reff, mv[s], lam, qp, H, W, s,
+                                      bd, tb_trial=tb_on)
             cs, mvs = eval_skip(orgj, reff, mv[s], lam, H, W, s, bd)
+            tbc = tb0
         else:
             ci = jnp.full((n,), jnp.inf, jnp.float32)
             cs = jnp.full((n,), jnp.inf, jnp.float32)
             mvc = mvs = jnp.zeros((n, 2), I32)
+            tbc = jnp.zeros((n,), I32)
         if s <= 64:
             cn, imode = eval_intra(orgpj, orgj, lam, qp, H, W, s, bd)
         else:
@@ -566,6 +618,8 @@ def decide_frame(enc, pull=True):
         if is_b:
             fseg += [ciB, cbi]
             iseg += [mvcB.reshape(-1)]
+        if tb_on:
+            iseg += [tbc]
 
     # ONE pull each for costs and metadata (a tunneled pull has a fixed
     # ~55ms charge; 30 pulls/frame would dominate the decision pass).
@@ -596,7 +650,10 @@ def _finish_decide(fpk, ipk, out, geom):
     """Host unpack + quadtree aggregation over the pulled cost/meta."""
     H, W, H0, W0, lamf = geom
     is_b = out["is_b"]
+    tb_on = out.get("tb_on", False)
     nf, ni = (5, 7) if is_b else (3, 5)
+    if tb_on:
+        ni += 1
     cost, meta = {}, {}
     fo = io = 0
     for s in SIZES:
@@ -607,8 +664,14 @@ def _finish_decide(fpk, ipk, out, geom):
         m = (ipk[io:io + 2 * n].reshape(n, 2),
              ipk[io + 2 * n:io + 4 * n].reshape(n, 2),
              ipk[io + 4 * n:io + 5 * n])
+        j = 5
         if is_b:
             m += (ipk[io + 5 * n:io + 7 * n].reshape(n, 2),)
+            j = 7
+        if tb_on:
+            # packed tb flags: bit0 inter(list0), bit1 inter(list1),
+            # bit2 bipred
+            m += (ipk[io + j * n:io + (j + 1) * n],)
         meta[s] = m
         io += ni * n
 
@@ -742,7 +805,8 @@ def encode_frame_turbo(enc):
             bi.num_skip_vec = bi.num_merge_vec = 0
 
         gi = (ypos // size, xpos // size)
-        mvs, mvc, imode = dec["meta"][size]
+        meta = dec["meta"][size]
+        mvs, mvc, imode = meta[0], meta[1], meta[2]
         nw_ = dec["W"] // size
         flat = gi[0] * nw_ + gi[1]
 

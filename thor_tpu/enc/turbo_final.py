@@ -290,7 +290,7 @@ def _qm_operands(enc, qp):
         return out
 
     return {
-        "fy": fw(0, 0, (8, 16, 32, 64, 128)),
+        "fy": fw(0, 0, (4, 8, 16, 32, 64, 128)),
         "fu": fw(1, 0, (4, 8, 16, 32, 64)),
         "fv": fw(2, 0, (4, 8, 16, 32, 64)),
         "iy": iv(0, 0, (4, 8, 16, 32, 64, 128), bank=True),
@@ -309,13 +309,13 @@ def _qm_operands(enc, qp):
 
 @partial(jax.jit, static_argnames=(
     "H", "W", "bd", "pad", "pad_c", "has_inter", "has_avg", "cfl",
-    "is_i", "speed", "has_qm"))
+    "is_i", "speed", "has_qm", "has_tb"))
 def finalize_core(org_y, org_u, org_v, ystack, ustack, vstack, gstack,
                   cstack, q4y, q4c, segs, segcls, qm, H: int, W: int,
                   bd: int, pad: int, pad_c: int, has_inter: bool,
                   has_avg: bool, cfl: bool, qp=32, qpc=32,
                   is_i: bool = False, speed: int = 2,
-                  has_qm: bool = False):
+                  has_qm: bool = False, has_tb: bool = False):
     """One dispatch: MC pred + fwd quantize + recon + intra waves.
 
     qp/qpc are traced scalars: one compiled program serves the whole
@@ -382,7 +382,12 @@ def finalize_core(org_y, org_u, org_v, ystack, ustack, vstack, gstack,
             org_u - pred_u)
         rv = jnp.zeros((hc, wc), jnp.int32).at[:H2, :W2].set(
             org_v - pred_v)
-        coefq_y = _coef_plane(ry, q4y[1], qp, is_i, (8, 16, 32, 64, 128),
+        # tb-split halves the luma TB down to 4 (TB-size fast flag
+        # approximates the reference's parent-size keying at speed<2;
+        # compliance is unaffected - the inverse path below is normative)
+        ly_sizes = ((4, 8, 16, 32, 64, 128) if has_tb
+                    else (8, 16, 32, 64, 128))
+        coefq_y = _coef_plane(ry, q4y[1], qp, is_i, ly_sizes,
                               speed, bd, qm["fy"] if has_qm else None)
         coefq_u = _coef_plane(ru, q4c[1], qpc, is_i, (4, 8, 16, 32, 64),
                               speed, bd, qm["fu"] if has_qm else None)
@@ -557,6 +562,9 @@ def plan_frame(enc, dec):
         meta = dec["meta"][size]
         mvs, mvc, imode = meta[0], meta[1], meta[2]
         flat = gi[0] * (dec["W"] // size) + gi[1]
+        # decided tb_split flags (HE presets): bit0 inter(list0),
+        # bit1 inter(list1), bit2 bipred
+        tbc = int(meta[-1][flat]) if dec.get("tb_on") else 0
 
         if ch == 2 or not is_p:
             bp = {"mode": MODE_INTRA, "tb_param": 0, "tb_split": 0,
@@ -586,7 +594,8 @@ def plan_frame(enc, dec):
             mv1 = (-int(mvb[flat, 0]), -int(mvb[flat, 1]))
             bi.mvp = inter.get_mv_pred(ypos, xpos, w, h, size, size, sb,
                                        enc.dd)
-            bp = {"mode": MODE_BIPRED, "tb_param": 0, "tb_split": 0,
+            bp = {"mode": MODE_BIPRED, "tb_param": 0,
+                  "tb_split": (tbc >> 2) & 1,
                   "pb_part": 0, "ref_idx0": r0i, "ref_idx1": r1i,
                   "mv_arr0": [mv0] * 4, "mv_arr1": [mv1] * 4, "dir": 2,
                   "skip_idx": 0}
@@ -597,15 +606,17 @@ def plan_frame(enc, dec):
                 mvb = meta[3]
                 mv = (-int(mvb[flat, 0]), -int(mvb[flat, 1]))
                 ridx = r1i
+                tbf = (tbc >> 1) & 1
             else:
                 mv = (int(mvc[flat, 0]), int(mvc[flat, 1]))
                 ridx = r0i if is_b else 0
+                tbf = tbc & 1
             bi.mvp = inter.get_mv_pred(ypos, xpos, w, h, size, size, sb,
                                        enc.dd)
             # ref_idx1 mirrors ref_idx0 (read_block sets both to the
             # signalled ref, decoder.py:489) so the deblock-data state -
             # and hence later skip-candidate lists - stay in sync
-            bp = {"mode": MODE_INTER, "tb_param": 0, "tb_split": 0,
+            bp = {"mode": MODE_INTER, "tb_param": 0, "tb_split": tbf,
                   "pb_part": 0, "ref_idx0": ridx, "ref_idx1": ridx,
                   "mv_arr0": [mv] * 4, "mv_arr1": [mv] * 4, "dir": 0,
                   "skip_idx": 0}
@@ -615,18 +626,24 @@ def plan_frame(enc, dec):
             plan_block_mc(plan, view, bp, size, ypos, xpos, size, size,
                           ref_slots)
         if bp["mode"] in (MODE_INTER, MODE_BIPRED):
-            # mark coded TBs for the dense fwd/inverse passes
+            # mark coded TBs for the dense fwd/inverse passes; tb_split
+            # halves the TB size (luma always, chroma unless it would go
+            # below 4, i.e. 8-blocks keep a single 4x4 chroma TB -
+            # enc/encode_block.c:1275, write_bits.c:540-560)
+            tbf = bp["tb_split"]
             qpc = int(CHROMA_QP[qp])
             sC = size >> 1
             yC, xC = ypos >> 1, xpos >> 1
             plan.qp4["y"][ypos // 4:(ypos + size) // 4,
                           xpos // 4:(xpos + size) // 4] = qp
             plan.ls4["y"][ypos // 4:(ypos + size) // 4,
-                          xpos // 4:(xpos + size) // 4] = log2i(size)
+                          xpos // 4:(xpos + size) // 4] = \
+                log2i(size // 2 if tbf else size)
             plan.qp4["c"][yC // 4:(yC + sC) // 4,
                           xC // 4:(xC + sC) // 4] = qpc
             plan.ls4["c"][yC // 4:(yC + sC) // 4,
-                          xC // 4:(xC + sC) // 4] = log2i(sC)
+                          xC // 4:(xC + sC) // 4] = \
+                log2i(sC // 2 if (tbf and sC > 4) else sC)
 
         # geometry/mv deblock fill so later candidate derivation sees
         # the coded state (cbp corrected in pass 2)
@@ -679,6 +696,44 @@ def emit_nodes(enc, nodes, coefq, icoef, ipos):
             bp["coeff_v"] = icoef["v"][si, li, :qsc, :qsc]
             cb = icoef["cb"][si, li]
             bp["cbp"] = (int(cb[0]), int(cb[1]), int(cb[2]))
+        elif bp.get("tb_split"):
+            # quadrant TBs: luma always splits; chroma splits unless it
+            # would go below 4x4 (writer.py write_block tb branch)
+            s2 = size // 2
+            qs2 = min(s2, 16)
+            sC = size >> 1
+            yC, xC = ypos >> 1, xpos >> 1
+            cbp_y = 0
+            y4 = []
+            for idx in range(4):
+                oy = ypos + (idx >> 1) * s2
+                ox = xpos + (idx & 1) * s2
+                blk = coefq["y"][oy:oy + qs2, ox:ox + qs2]
+                y4.append(blk)
+                cbp_y = (cbp_y << 1) + int(blk.any())
+            bp["coeff_y4"] = y4
+            if sC > 4:
+                sC2 = sC // 2
+                qsc2 = min(sC2, 16)
+                u4, v4 = [], []
+                cbp_u = cbp_v = 0
+                for idx in range(4):
+                    oy = yC + (idx >> 1) * sC2
+                    ox = xC + (idx & 1) * sC2
+                    bu = coefq["u"][oy:oy + qsc2, ox:ox + qsc2]
+                    bv = coefq["v"][oy:oy + qsc2, ox:ox + qsc2]
+                    u4.append(bu)
+                    v4.append(bv)
+                    cbp_u = (cbp_u << 1) + int(bu.any())
+                    cbp_v = (cbp_v << 1) + int(bv.any())
+                bp["coeff_u4"], bp["coeff_v4"] = u4, v4
+            else:
+                qsc = min(sC, 16)
+                cu = coefq["u"][yC:yC + qsc, xC:xC + qsc]
+                cv = coefq["v"][yC:yC + qsc, xC:xC + qsc]
+                bp["coeff_u"], bp["coeff_v"] = cu, cv
+                cbp_u, cbp_v = int(cu.any()), int(cv.any())
+            bp["cbp"] = (cbp_y, cbp_u, cbp_v)
         else:
             qs = min(size, 16)
             sC = size >> 1
@@ -794,7 +849,7 @@ def encode_frame_turbo_final(enc, dec):
             H=h, W=w, bd=bd, pad=pad, pad_c=pad_c, has_inter=has_inter,
             has_avg=bool(plan.avg.any()), cfl=bool(p.cfl_intra), qp=qp,
             qpc=qpc, is_i=not is_p, speed=p.encoder_speed,
-            has_qm=bool(p.qmtx))
+            has_qm=bool(p.qmtx), has_tb=bool(dec.get("tb_on", False)))
     jax.block_until_ready(outs)
     tick("dispatch")
     packed, icq, icb = [np.asarray(o) for o in outs]

@@ -131,6 +131,7 @@ def plan_frame(enc, dec, plan):
     t = TurboPlan()
     keep = [recs, stats]
     is_b = bool(dec["is_b"])
+    tb_on = bool(dec.get("tb_on", False))
     for i, s in enumerate((8, 16, 32, 64, 128)):
         ch = np.ascontiguousarray(dec["choice"][s], np.int32)
         m = dec["meta"][s]
@@ -145,6 +146,10 @@ def plan_frame(enc, dec, plan):
         t.mv_int1[i] = i32p(mvb)
         t.imode[i] = i32p(imode)
         t.gw[i] = dec["W"] // s
+        if tb_on:
+            tbg = np.ascontiguousarray(m[-1], np.int32)
+            keep.append(tbg)
+            t.tb[i] = i32p(tbg)
     t.is_b = int(is_b)
     t.r0i = 1 if (is_b and fi.interp_ref) else 0
     t.r1i = 2 if (is_b and fi.interp_ref) else 1

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""North-star measurement: 1080p encode on the UNMODIFIED LDB
+high-efficiency preset (configs/config_LDB_high_efficiency.txt), turbo
+mode, vs the reference Thorenc HE build on the same clip.
+
+Prints one JSON line:
+  {"turbo_he_fps": .., "thorenc_he_fps": .., "speedup": ..,
+   "rate_ratio": .., "psnr_delta_db": .., "thordec_exact": bool}
+
+Every number is computed during the run (honesty norm).  The stream must
+decode bit-exactly under the reference Thordec (recon == Thordec YUV)
+for the run to count.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+ORACLE_ENC = "/tmp/oracle/build/Thorenc"
+ORACLE_DEC = "/tmp/oracle/build/Thordec"
+CFG = os.path.join(REPO, "configs", "config_LDB_high_efficiency.txt")
+W, H, N = 1920, 1080, 8
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+def make_clip(path):
+    import numpy as np
+    rng = np.random.default_rng(12)
+    base = np.clip(np.linspace(40, 210, W)[None, :] +
+                   np.linspace(0, 40, H)[:, None] +
+                   rng.integers(-12, 12, (H, W)), 0, 255).astype(np.uint8)
+    with open(path, "wb") as f:
+        for i in range(N):
+            y = np.roll(base, 8 * i, axis=1)
+            u = np.full((H // 2, W // 2), 124, np.uint8)
+            v = np.full((H // 2, W // 2), 132, np.uint8)
+            f.write(y.tobytes() + u.tobytes() + v.tobytes())
+
+
+def psnr(recon, orig):
+    import numpy as np
+    a = np.frombuffer(open(recon, "rb").read(), np.uint8).astype(np.int64)
+    b = np.frombuffer(open(orig, "rb").read(), np.uint8).astype(np.int64)
+    mse = ((a - b) ** 2).mean()
+    return 10 * __import__("math").log10(255 * 255 / max(mse, 1e-12))
+
+
+def main():
+    out = {}
+    tmp = "/tmp/bench_he"
+    os.makedirs(tmp, exist_ok=True)
+    clip = os.path.join(tmp, f"clip_{W}x{H}_30.yuv")
+    if not os.path.exists(clip):
+        make_clip(clip)
+
+    # ---- reference Thorenc HE ----
+    ref_bit = os.path.join(tmp, "ref.bit")
+    ref_rec = os.path.join(tmp, "ref_rec.yuv")
+    if os.path.exists(ORACLE_ENC):
+        t0 = time.time()
+        subprocess.run([ORACLE_ENC, "-cf", CFG, "-width", str(W),
+                        "-height", str(H), "-qp", "32", "-f", str(N),
+                        "-if", clip, "-of", ref_bit, "-rf", ref_rec],
+                       check=True, capture_output=True)
+        ref_dt = time.time() - t0
+        out["thorenc_he_fps"] = round(N / ref_dt, 4)
+        out["thorenc_bytes"] = os.path.getsize(ref_bit)
+        out["thorenc_psnr"] = round(psnr(ref_rec, clip), 3)
+
+    # ---- turbo HE (in-process, per-frame timed) ----
+    os.environ["THOR_TURBO"] = "1"
+    from thor_tpu.enc.params import parse_config_file
+    from thor_tpu.enc import encoder as E
+
+    params = parse_config_file(CFG, width=W, height=H, num_frames=N,
+                               qp=32)
+    yuv = open(clip, "rb").read()
+    times = []
+
+    def prog(fn, ft, stats):
+        times.append(time.time())
+
+    t0 = time.time()
+    bs, rec = E.encode_sequence(params, yuv, progress=prog)
+    times.insert(0, t0)
+    deltas = [b - a for a, b in zip(times, times[1:])]
+    steady = deltas[2:] if len(deltas) > 3 else deltas
+    out["turbo_he_fps"] = round(len(steady) / sum(steady), 4)
+    out["turbo_he_fps_incl_warmup"] = round(N / (times[-1] - t0), 4)
+    out["turbo_bytes"] = len(bs)
+    out["per_frame_s"] = [round(d, 2) for d in deltas]
+
+    bit = os.path.join(tmp, "turbo.bit")
+    recf = os.path.join(tmp, "turbo_rec.yuv")
+    open(bit, "wb").write(bs)
+    open(recf, "wb").write(rec)
+    out["turbo_psnr"] = round(psnr(recf, clip), 3)
+
+    # compliance gate: reference decoder must reproduce our recon
+    if os.path.exists(ORACLE_DEC):
+        dec_out = os.path.join(tmp, "turbo_dec.yuv")
+        subprocess.run([ORACLE_DEC, bit, dec_out], check=True,
+                       capture_output=True)
+        out["thordec_exact"] = open(dec_out, "rb").read() == rec
+    if "thorenc_he_fps" in out:
+        out["speedup_vs_thorenc_he"] = round(
+            out["turbo_he_fps"] / out["thorenc_he_fps"], 2)
+        out["rate_ratio"] = round(out["turbo_bytes"] /
+                                  out["thorenc_bytes"], 4)
+        out["psnr_delta_db"] = round(out["turbo_psnr"] -
+                                     out["thorenc_psnr"], 3)
+    print("HE_JSON " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
