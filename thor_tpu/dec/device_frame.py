@@ -451,8 +451,14 @@ class DeviceFrameDecoder:
 
     def note_ref(self, dst, src):
         """Defer `dst.copy_from(src)` until src's pixels are pulled.
-        Returns True when deferred (src is the in-flight frame)."""
+        Returns True when deferred (src is the in-flight frame).
+
+        The frame METADATA must propagate immediately even though the
+        pixel copy is deferred: the next frame's `_ref_planes` keys the
+        resident ring by `frame_num`, and a stale number would miss the
+        ring and upload the buffer's stale host pixels."""
         if self._pending is not None and self._pending[1] is src:
+            dst.frame_num = src.frame_num
             self._late.append((dst, src))
             return True
         return False
@@ -463,6 +469,10 @@ class DeviceFrameDecoder:
         key = None if is_interp else r.frame_num
         if key is not None and key in self.ring:
             return self.ring[key]
+        if key is not None and any(dst is r for dst, _ in self._late):
+            # ring miss on a ref whose host copy is still deferred
+            # (evicted entry): resolve the pipeline before uploading
+            self.flush()
         planes = (jnp.asarray(r.y_full.astype(np.int16)),
                   jnp.asarray(r.u_full.astype(np.int16)),
                   jnp.asarray(r.v_full.astype(np.int16)))
