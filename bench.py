@@ -5,48 +5,67 @@ Headline: REAL end-to-end 1080p decode throughput on one chip - the
 production CLI path on a checked-in 1 Mbyte 8-frame 1080p LDB-LC stream
 (benchmarks/stream_1080p_lc.bit, produced by the reference Thorenc on a
 textured clip with global motion): host entropy/syntax decode feeding
-the single-dispatch device pixel executor (dec/device_pixels.py) and
-the fused device in-loop filter chain (ops/filters.py:filters_exec).
-Output is checked against the reference decoder's YUV (sha256) - a run
-only counts if it is bit-exact.
+the fused resident-device executor.  Output is checked against the
+reference decoder's YUV (sha256) - a run only counts if it is bit-exact.
+
+Robustness contract (the reason for the shape of this file): EVERY
+stage, including the decode headline, runs in its own subprocess with a
+hard timeout, and the final JSON line is printed from whatever stages
+completed.  A wedged device tunnel costs one stage, not the round.
+The parent process never imports jax.
+
+Stages (each prints one 'STAGE_JSON {...}' line on success):
+  decode    real 1080p decode fps, bit-exact gated      (device backend)
+  turbo_he  north star: 1080p encode on the UNMODIFIED
+            LDB high-efficiency preset via tools/bench_he.py
+  turbo_lc  1080p turbo encode, LC-shaped params        (device backend)
+  synth     synthetic full-frame device pixel pipeline  (device backend)
+  synth_cpu last-resort headline fallback               (cpu backend)
 
 Baselines (BASELINE.md, measured x86 `make ARCH=native` SIMD build):
-Thordec full decode 26.3 fps at 1080p; Thorenc LC encode 3.19 fps.
-
-Extras reported alongside: the synthetic device pixel-pipeline fps
-(models/pipeline.py, round-1 metric) and the turbo-encoder status.
+Thordec full decode 26.3 fps at 1080p; Thorenc LC encode 3.19 fps;
+Thorenc HE encode 0.066 fps.
 """
-import hashlib
 import json
 import os
+import subprocess
+import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+REPO = os.path.dirname(os.path.abspath(__file__))
+STREAM = os.path.join(REPO, "benchmarks", "stream_1080p_lc.bit")
+REC_SHA256 = "287b83855649b54ea8deb70db12cb222f16561eb25150ecdb1217823111425ef"
+
+# Global wall budget for the whole bench (driver-friendly); each stage
+# gets min(its own cap, remaining - finalization reserve).
+TOTAL_BUDGET_S = float(os.environ.get("THOR_BENCH_BUDGET_S", "1980"))
+_T0 = time.time()
+
 
 def _baseline_fps(pattern, default):
     """Parse a baseline number out of BASELINE.md (single source of
     truth for reference-build measurements)."""
     import re
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BASELINE.md")
     try:
-        m = re.search(pattern, open(path).read())
+        m = re.search(pattern, open(os.path.join(REPO, "BASELINE.md")).read())
         return float(m.group(1)) if m else default
     except OSError:
         return default
 
 
-THORDEC_1080P_FPS_X86 = _baseline_fps(
-    r"bench\.py:\s*([0-9.]+)\s*fps", 26.3)
+THORDEC_1080P_FPS_X86 = _baseline_fps(r"bench\.py:\s*([0-9.]+)\s*fps", 26.3)
 THORENC_LC_1080P_FPS_X86 = _baseline_fps(
     r"LDB low-complexity \| ([0-9.]+)", 3.19)
-REC_SHA256 = "287b83855649b54ea8deb70db12cb222f16561eb25150ecdb1217823111425ef"
-STREAM = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "benchmarks", "stream_1080p_lc.bit")
+THORENC_HE_1080P_FPS_X86 = _baseline_fps(
+    r"LDB high-efficiency \(HE\) \| ([0-9.]+)", 0.066)
 
 
-def real_decode_fps():
+# ---------------------------------------------------------------------------
+# stage bodies (run inside subprocesses; these MAY import jax)
+# ---------------------------------------------------------------------------
+
+def stage_decode():
+    import hashlib
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -74,10 +93,11 @@ def real_decode_fps():
     out = b"".join(frames)
     ok = hashlib.sha256(out).hexdigest() == REC_SHA256
     steady = times[3:] if len(times) > 4 else times
-    return len(steady) / sum(steady), ok
+    return {"fps": round(len(steady) / sum(steady), 3),
+            "bit_exact_vs_reference": ok}
 
 
-def synthetic_pipeline_fps():
+def stage_synth(platform=None):
     from functools import partial
     import numpy as np
     import jax
@@ -95,14 +115,14 @@ def synthetic_pipeline_fps():
     for _ in range(n):
         out = fn(*args)
     jax.block_until_ready(out)
-    return n / (time.time() - t0)
+    return {"fps": round(n / (time.time() - t0), 2),
+            "platform": jax.devices()[0].platform}
 
 
-def turbo_encode_fps(H=1088, W=1920, N=6):
-    """Measure the turbo encoder end-to-end at 1080p: decide (device) +
-    native plan/emit (C) + device finalization, steady-state fps over
-    the last frames of a 6-frame textured clip.  Every number printed
-    by this benchmark is computed during the run."""
+def stage_turbo_lc(H=1088, W=1920, N=6):
+    """Turbo encoder end-to-end at 1080p, LC-shaped params: decide
+    (device) + native plan/emit (C) + device finalization, steady-state
+    fps over the last frames of a 6-frame textured clip."""
     import numpy as np
     os.environ["THOR_TURBO"] = "1"
     from thor_tpu.enc.params import EncParams
@@ -138,48 +158,136 @@ def turbo_encode_fps(H=1088, W=1920, N=6):
     # compliance gate: the stream must decode back to the recon
     from thor_tpu.dec import decode_stream
     _, dec_frames = decode_stream(bs)
-    exact = b"".join(dec_frames) == rec
-    return len(steady) / sum(steady), exact
+    return {"fps": round(len(steady) / sum(steady), 3),
+            "roundtrip_exact": b"".join(dec_frames) == rec}
+
+
+STAGES = {"decode": stage_decode, "synth": stage_synth,
+          "turbo_lc": stage_turbo_lc}
+
+
+# ---------------------------------------------------------------------------
+# parent orchestration (stdlib only)
+# ---------------------------------------------------------------------------
+
+def _cache_env(env):
+    """Point the child at the per-machine keyed compile cache."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_thor_cache", os.path.join(REPO, "thor_tpu", "_cache.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.setup_env(env)
+    return env
+
+
+def _run_stage(name, cap_s, cpu=False, argv=None):
+    """Run one stage in a subprocess; returns (dict|None, note)."""
+    remaining = TOTAL_BUDGET_S - (time.time() - _T0)
+    budget = min(cap_s, remaining - 30)
+    if budget < 60:
+        return None, "skipped (budget exhausted)"
+    env = _cache_env(dict(os.environ))
+    env["PYTHONPATH"] = REPO + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    if cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+    cmd = argv or [sys.executable, os.path.abspath(__file__),
+                   "--stage", name]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=budget, cwd=REPO, env=env)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {int(budget)}s"
+    for ln in reversed((r.stdout or "").splitlines()):
+        if ln.startswith("STAGE_JSON "):
+            return json.loads(ln[11:]), "ok"
+        if ln.startswith("HE_JSON "):
+            return json.loads(ln[8:]), "ok"
+    tail = ((r.stderr or "") + (r.stdout or ""))[-300:].replace("\n", " ")
+    return None, f"rc={r.returncode}: {tail}"
 
 
 def main():
-    fps, ok = real_decode_fps()
-    extras = {"bit_exact_vs_reference": ok}
-    try:
-        # hermetic subprocess with a hard timeout: a pathological
-        # first-compile must not take down the decode headline
-        import subprocess
-        import sys
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import json, bench; f, ok = bench.turbo_encode_fps(); "
-             "print('TURBO_JSON ' + json.dumps([f, ok]))"],
-            capture_output=True, text=True, timeout=1500,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = [ln for ln in r.stdout.splitlines()
-                if ln.startswith("TURBO_JSON ")]
-        efps, eok = json.loads(line[0][11:])
-        extras["turbo_encode_1080p_fps"] = round(efps, 3)
-        extras["turbo_encode_roundtrip_exact"] = eok
+    results, notes = {}, {}
+
+    def run(name, cap, cpu=False, argv=None):
+        res, note = _run_stage(name, cap, cpu=cpu, argv=argv)
+        results[name] = res
+        notes[name] = note
+        print(f"[bench] {name}: {note} "
+              f"(t={int(time.time() - _T0)}s)", file=sys.stderr, flush=True)
+
+    run("decode", 720)
+    run("synth", 300)
+    run("turbo_he", 900,
+        argv=[sys.executable, os.path.join(REPO, "tools", "bench_he.py")])
+    run("turbo_lc", 600)
+    if results["decode"] is None and results["synth"] is None:
+        # device backend is wedged: produce an honest CPU-backend number
+        # rather than no number at all
+        run("synth_cpu", 300, cpu=True)
+
+    extras = {}
+    dec = results.get("decode")
+    if dec:
+        extras["bit_exact_vs_reference"] = dec["bit_exact_vs_reference"]
+    if results.get("synth"):
+        extras["synthetic_pixel_pipeline_fps"] = results["synth"]["fps"]
+    he = results.get("turbo_he")
+    if he:
+        for k in ("turbo_he_fps", "turbo_he_fps_incl_warmup", "turbo_bytes",
+                  "turbo_psnr", "thordec_exact", "selfdec_exact",
+                  "thorenc_he_fps", "speedup_vs_thorenc_he", "rate_ratio",
+                  "psnr_delta_db"):
+            if k in he:
+                extras[k] = he[k]
+        if "turbo_he_fps" in he:
+            extras["turbo_he_vs_thorenc_he_baseline"] = round(
+                he["turbo_he_fps"] / THORENC_HE_1080P_FPS_X86, 2)
+    lc = results.get("turbo_lc")
+    if lc:
+        extras["turbo_encode_1080p_fps"] = lc["fps"]
+        extras["turbo_encode_roundtrip_exact"] = lc["roundtrip_exact"]
         extras["turbo_vs_thorenc_lc"] = round(
-            efps / THORENC_LC_1080P_FPS_X86, 4)
-    except Exception as e:  # noqa: BLE001
-        extras["turbo_encode_1080p_fps"] = f"error: {type(e).__name__}"
-    try:
-        extras["synthetic_pixel_pipeline_fps"] = round(
-            synthetic_pipeline_fps(), 2)
-    except Exception as e:  # noqa: BLE001
-        extras["synthetic_pixel_pipeline_fps"] = f"error: {type(e).__name__}"
+            lc["fps"] / THORENC_LC_1080P_FPS_X86, 4)
+    for k, v in notes.items():
+        if v != "ok":
+            extras[f"stage_{k}"] = v
+
+    if dec and dec.get("fps"):
+        metric = ("1080p REAL end-to-end decode fps (single chip, host "
+                  "entropy + fused resident-device executor, bit-exact "
+                  "vs reference)")
+        value, base = dec["fps"], THORDEC_1080P_FPS_X86
+    elif results.get("synth"):
+        metric = ("1080p synthetic device pixel-pipeline fps (decode "
+                  "headline unavailable this run - see extras)")
+        value, base = results["synth"]["fps"], THORDEC_1080P_FPS_X86
+    elif results.get("synth_cpu"):
+        metric = ("1080p synthetic pixel-pipeline fps on the CPU backend "
+                  "(device backend unavailable this run - see extras)")
+        value, base = results["synth_cpu"]["fps"], THORDEC_1080P_FPS_X86
+    elif he and he.get("turbo_he_fps"):
+        metric = "1080p turbo HE encode fps (decode stages unavailable)"
+        value, base = he["turbo_he_fps"], THORENC_HE_1080P_FPS_X86
+    else:
+        metric = "no stage completed (all timed out - see extras)"
+        value, base = 0.0, THORDEC_1080P_FPS_X86
     print(json.dumps({
-        "metric": "1080p REAL end-to-end decode fps (single chip, host "
-                  "entropy + device pixel pipeline + device loop "
-                  "filters, bit-exact vs reference)",
-        "value": round(fps, 3),
+        "metric": metric,
+        "value": value,
         "unit": "fps",
-        "vs_baseline": round(fps / THORDEC_1080P_FPS_X86, 4),
+        "vs_baseline": round(value / base, 4),
         "extras": extras,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        name = sys.argv[2]
+        out = STAGES[name]()
+        print("STAGE_JSON " + json.dumps(out), flush=True)
+    else:
+        main()

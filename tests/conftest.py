@@ -10,8 +10,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 # Persistent compilation cache: repeat suite runs skip XLA compiles.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# The directory is keyed by a CPU-feature fingerprint (thor_tpu/_cache.py)
+# so AOT blobs compiled on another machine can never be loaded here.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from thor_tpu._cache import setup_env as _cache_setup  # noqa: E402
+
+_CACHE_DIR = _cache_setup()
 # The axon sitecustomize (loaded at interpreter start, before this file)
 # registers the tunneled TPU backend and force-selects it, so the env var
 # alone is not enough - pin the platform through jax.config too.
@@ -19,8 +25,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if _CACHE_DIR:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 except Exception:
     pass
 

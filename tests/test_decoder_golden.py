@@ -89,6 +89,22 @@ def test_c444():
     _check("c444_128")
 
 
+def test_ring_eviction_stress():
+    """Fused-decoder pipelining under reference-ring pressure: with a
+    2-entry resident ring, a 9-frame HDB stream (ref window wider than
+    the ring) constantly evicts still-referenced frames, forcing the
+    ring-miss -> flush() -> host re-upload path (the regression shape of
+    the round-4 stale-frame_num bug, commit 6b001d4) on nearly every
+    frame.  Output must stay bit-exact."""
+    from thor_tpu.dec import device_frame as DF
+    old = DF.DeviceFrameDecoder.RING_CAP
+    DF.DeviceFrameDecoder.RING_CAP = 2
+    try:
+        _check("hdb9_128")
+    finally:
+        DF.DeviceFrameDecoder.RING_CAP = old
+
+
 def test_interp_ref2():
     _check("ir2_128")
 

@@ -51,6 +51,53 @@ def _turbo_encode(W, H, N, seed, monkeypatch, **kw):
     return yuv, bs, rec
 
 
+def _turbo_encode_subprocess(W, H, N, seed, **kw):
+    """Encode in a fresh interpreter.
+
+    Exists for the HE-preset tests: their compile of the big finalizer
+    kernels intermittently segfaults INSIDE jaxlib's
+    executable.serialize() (persistent-cache write) when it happens
+    late in a long suite process - a jaxlib bug this suite cannot fix
+    (the identical encode passes in isolation every time, and the C
+    tier is ASan/UBSan-clean in-process).  A fresh process sidesteps
+    the state dependence; coverage is unchanged."""
+    import json
+    import subprocess
+    import sys
+    import tempfile
+    args = dict(LC_KW)
+    args.update(kw)
+    with tempfile.TemporaryDirectory() as td:
+        yuv = _clip(W, H, N, seed)
+        open(os.path.join(td, "in.yuv"), "wb").write(yuv)
+        spec = dict(width=W, height=H, num_frames=N, **args)
+        code = (
+            "import json,sys\n"
+            "from thor_tpu.enc.params import EncParams\n"
+            "from thor_tpu.enc import encoder as E\n"
+            "spec=json.load(open(sys.argv[1]))\n"
+            "yuv=open(sys.argv[2],'rb').read()\n"
+            "bs,rec=E.encode_sequence(EncParams(**spec), yuv)\n"
+            "open(sys.argv[3],'wb').write(bs)\n"
+            "open(sys.argv[4],'wb').write(rec)\n")
+        json.dump(spec, open(os.path.join(td, "spec.json"), "w"))
+        env = dict(os.environ)
+        env["THOR_TURBO"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [sys.executable, "-c", code, os.path.join(td, "spec.json"),
+             os.path.join(td, "in.yuv"), os.path.join(td, "out.bit"),
+             os.path.join(td, "out_rec.yuv")],
+            capture_output=True, text=True, timeout=1500, env=env,
+            cwd=repo)
+        assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+        return (yuv, open(os.path.join(td, "out.bit"), "rb").read(),
+                open(os.path.join(td, "out_rec.yuv"), "rb").read())
+
+
 def _psnr(a, b):
     a = np.frombuffer(a, np.uint8).astype(np.float64)
     b = np.frombuffer(b, np.uint8).astype(np.float64)
@@ -92,7 +139,7 @@ def test_turbo_he_cdef_dedup_roundtrip(monkeypatch):
     kw = dict(early_skip_thr=0.3, enable_tb_split=1, enable_pb_split=1,
               max_num_ref=4, intra_rdo=1, enable_bipred=1, cdef=2,
               clpf=0, encoder_speed=0)
-    yuv, bs, rec = _turbo_encode(128, 96, 2, 3, monkeypatch, **kw)
+    yuv, bs, rec = _turbo_encode_subprocess(128, 96, 2, 3, **kw)
     _, frames = decode_stream(bs)
     assert b"".join(frames) == rec
 
@@ -150,6 +197,6 @@ def test_turbo_hbd_qm_he_roundtrip(monkeypatch):
               bitdepth=10, dqpB0=3, dqpB1=1, mqpB=1.2, mqpB0=1.1,
               mqpB1=1.2, mqpB2=1.3, intra_period=64, HQperiod=8,
               encoder_speed=0)
-    _, bs, rec = _turbo_encode(128, 96, 4, 21, monkeypatch, **kw)
+    _, bs, rec = _turbo_encode_subprocess(128, 96, 4, 21, **kw)
     _, frames = decode_stream(bs)
     assert b"".join(frames) == rec

@@ -25,10 +25,16 @@ _jax.config.update("jax_enable_x64", True)
 # multi-minute per-process TPU compiles of the big fused kernels into
 # one-time costs.
 try:
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache"))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from ._cache import cache_dir as _cache_dir
+
+    # Default to a per-machine keyed directory (thor_tpu/_cache.py): a
+    # cache populated on a different CPU makes the XLA AOT loader abort
+    # the process, so a foreign cache must be invisible, not fatal.
+    _dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _cache_dir()
+    if _dir:
+        _jax.config.update("jax_compilation_cache_dir", _dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           2.0)
 except Exception:  # noqa: BLE001 - cache is an optimization only
     pass
 

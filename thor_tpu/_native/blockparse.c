@@ -857,6 +857,14 @@ static void process_block_c(parse_ctx_t *c, br_t *br, int size, int ypos,
 {
     if (ypos >= c->height || xpos >= c->width || c->error)
         return;
+    /* Desynced/truncated stream: reading ran off the end of the unit
+     * (same 64-bit-slack EOF rule as entropy.c:br_overrun and the
+     * Python BitReader).  Flag the error so parse_frame returns -1 and
+     * the caller falls back to the Python walk, which raises EOFError. */
+    if (br->bitpos > (br->nbytes << 3) + 64) {
+        c->error = 1;
+        return;
+    }
     int decode_this_size = (ypos + size <= c->height &&
                             xpos + size <= c->width);
     int decode_rect = !decode_this_size && c->frame_type != I_FRAME;

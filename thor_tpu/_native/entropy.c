@@ -41,6 +41,15 @@ static inline int br_bit(br_t *br)
     return (br->data[byte] >> (7 - (pos & 7))) & 1;
 }
 
+/* EOF rule shared with the Python BitReader (bitstream.py:getbits):
+ * trailing-byte zero padding is legitimate, but a read more than 64
+ * bits past the end of the unit means a desynced unary VLC is spinning
+ * on the zero padding.  Mirrors dec/getvlc.c hitting getbits() EOF. */
+static inline int br_overrun(const br_t *br)
+{
+    return br->bitpos > (br->nbytes << 3) + 64;
+}
+
 int get_vlc(br_t *br, int n)
 {
     if (n < 0) return (int)br_bits(br, -n);
@@ -60,7 +69,13 @@ int get_vlc(br_t *br, int n)
     }
     if (n <= 5) {
         int val = 0;
-        while (!br_bit(br)) val++;
+        while (!br_bit(br)) {
+            if (br_overrun(br)) return 0; /* unterminated unary: EOF */
+            /* legal levels fit int16 => val <= e + 16; a longer unary
+             * prefix is a desynced stream (in-bounds zero run) - cap it
+             * so the shifts below stay defined */
+            if (++val > 24) return 0;
+        }
         if (val <= e) val = (val << n) + (int)br_bits(br, n);
         else val = (((e - 1) + (1 << (val - e))) << n) +
                    (int)br_bits(br, n + val - e);
@@ -74,7 +89,11 @@ int get_vlc(br_t *br, int n)
     }
     if (n == 10) {
         int val = 0;
-        while (!br_bit(br)) val++;
+        while (!br_bit(br)) {
+            if (br_overrun(br)) return 0; /* unterminated unary: EOF */
+            val++;
+        }
+        if (val > 24) return 0;  /* >24-bit payload: corrupt stream */
         if (val) val = (1 << val) - 1 + (int)br_bits(br, val);
         return val;
     }

@@ -199,6 +199,10 @@ def read_coeff(s: BitReader, size: int, ctype: int) -> np.ndarray:
                             ctype)
         s.bitcnt += br.bitpos - s.bitpos
         s.bitpos = br.bitpos
+        if br.bitpos > (len(s.data) << 3) + 64:  # same rule as BitReader
+            raise EOFError(
+                "bitstream overrun in coefficient scan: bit %d of a "
+                "%d-byte unit" % (br.bitpos, len(s.data)))
         out = np.zeros((size, size), np.int16)
         out[:qsize, :qsize] = sco[ZIGZAG[qsize]].reshape(qsize, qsize)
         return out
@@ -1599,6 +1603,19 @@ def decode_stream(data: bytes, progress=None, decoder_hook=None):
     pend_out = None
     while s is not None:
         dec.decode_frame(s, n)
+        # desync detection (dec/getbits.c framing: each unit is length-
+        # prefixed, a compliant frame consumes the unit to within byte
+        # padding).  A parse that left >=1 full byte unread, or ran past
+        # the unit, decoded from wrong bit offsets - say so loudly
+        # instead of silently emitting wrong YUV.
+        slack = (len(s.data) << 3) - s.bitpos
+        if slack < 0 or slack >= 8:
+            import sys
+            what = ("overran the unit by %d bits" % -slack if slack < 0
+                    else "left %d bits unread" % slack)
+            print(f"thor_tpu: WARNING: frame {n}: bitstream desync - "
+                  f"the {len(s.data)}-byte frame unit {what}; decoded "
+                  f"output for this frame is unreliable", file=sys.stderr)
         # output deferred ONE frame: the fused executor leaves frame N's
         # pull in flight while the host parses and dispatches N+1; by
         # the time decode_frame(N+1) returns, N is resolved

@@ -427,6 +427,10 @@ class DeviceFrameDecoder:
     calls it before any host-pixel consumer (tempinterp, host-path
     fallbacks, output writing)."""
 
+    # resident-reference capacity; tests shrink this to force evictions
+    # of still-referenced entries (the flush()-on-ring-miss path)
+    RING_CAP = 34
+
     def __init__(self):
         self.ring = OrderedDict()   # frame_num -> (y, u, v) device planes
         self._pending = None        # (packed, rec, H, W, Wc)
@@ -459,6 +463,7 @@ class DeviceFrameDecoder:
         ring and upload the buffer's stale host pixels."""
         if self._pending is not None and self._pending[1] is src:
             dst.frame_num = src.frame_num
+            dst.host_pixels_valid = False  # set again by copy_from
             self._late.append((dst, src))
             return True
         return False
@@ -473,12 +478,15 @@ class DeviceFrameDecoder:
             # ring miss on a ref whose host copy is still deferred
             # (evicted entry): resolve the pipeline before uploading
             self.flush()
+        assert getattr(r, "host_pixels_valid", True), (
+            "reading host pixels of a reference whose deferred device "
+            "copy has not been resolved (frame_num=%s)" % r.frame_num)
         planes = (jnp.asarray(r.y_full.astype(np.int16)),
                   jnp.asarray(r.u_full.astype(np.int16)),
                   jnp.asarray(r.v_full.astype(np.int16)))
         if key is not None:
             self.ring[key] = planes
-            while len(self.ring) > 34:
+            while len(self.ring) > self.RING_CAP:
                 self.ring.popitem(last=False)
         return planes
 
@@ -622,7 +630,7 @@ class DeviceFrameDecoder:
 
         # resident ring update (before the blocking pull: both are queued)
         self.ring[dec.rec.frame_num] = (ry, ru, rv)
-        while len(self.ring) > 34:
+        while len(self.ring) > self.RING_CAP:
             self.ring.popitem(last=False)
 
         if prof:

@@ -448,20 +448,23 @@ def eval_skip(org, reff, mv_s, lam, H: int, W: int, s: int, bd: int):
     return best, jnp.stack([bmy, bmx], -1)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "s", "bd"))
-def eval_intra(orgp, org, lam, qp, H: int, W: int, s: int, bd: int):
-    """Intra cost at size s: 4-mode search on ORG-neighbour reference
+@partial(jax.jit, static_argnames=("H", "W", "s", "bd", "nim"))
+def eval_intra(orgp, org, lam, qp, H: int, W: int, s: int, bd: int,
+               nim: int = 4):
+    """Intra cost at size s: nim-mode search on ORG-neighbour reference
     samples (decision approximation; the final encode re-derives coeffs
-    from true reconstructed neighbours)."""
+    from true reconstructed neighbours).  nim mirrors the preset's
+    frame_info.num_intra_modes (reference searches every mode,
+    enc/encode_block.c:2082-2097)."""
     yy, xx, nh, nw = _grid_pos(H, W, s)
     ot = _org_tiles(org, H, W, s)
     ur = jnp.zeros((nh * nw,), bool)
     dl = jnp.zeros((nh * nw,), bool)
     left, top, tl = IB.make_refs_batch(orgp, yy, xx, s, ur, dl, bd)
     preds = IB.predict_all_modes(left, top, tl, yy, xx, s, bd,
-                                 num_modes=4)
+                                 num_modes=nim)
     sads = jnp.stack([jnp.abs(preds[m] - ot).sum(axis=(1, 2))
-                      for m in range(4)])
+                      for m in range(nim)])
     mode = jnp.argmin(sads, axis=0)
     pred = IB.select_mode(preds, mode)
     ssd, bits, cbp = _trial_bits_ssd(ot, pred, qp, s, True, bd)
@@ -553,14 +556,24 @@ def decide_frame(enc, pull=True):
     # real tb-split decisions on the HE presets: trial-encode both TB
     # geometries per inter/bipred candidate and keep the min
     tb_on = (p.enable_tb_split == 1) and not is_i
-    out = {"qp": qp, "is_b": is_b, "tb_on": tb_on}
+    # sizes whose first block already overhangs the visible frame can
+    # never be leaves (fits=False forces INF below) - skip their device
+    # evals entirely.  On small clips this drops the largest kernel
+    # families (s=128 on a 64x64 test clip), which matters because the
+    # decision pass is compile-bound on cold caches.
+    eval_sizes = tuple(s for s in SIZES if s <= H0 and s <= W0)
+    out = {"qp": qp, "is_b": is_b, "tb_on": tb_on,
+           "eval_sizes": eval_sizes}
 
     def me_chain(reff, orgh):
         refh = scale2(reff)
         mv_h = prepass_half(orgh, refh, H // 2, W // 2)
         mv = {16: refine16(orgj, reff, mv_h, H, W, bd)}
         for s in (32, 64, 128):
-            mv[s] = upsize_mv(orgj, reff, mv[s // 2], H, W, s, bd)
+            if s in eval_sizes:
+                mv[s] = upsize_mv(orgj, reff, mv[s // 2], H, W, s, bd)
+            else:
+                mv[s] = jnp.zeros(((H // s) * (W // s), 2), I32)
         mv[8] = jnp.repeat(jnp.repeat(
             mv[16].reshape(H // 16, W // 16, 2), 2, 0), 2, 1).reshape(-1, 2)
         return mv
@@ -587,7 +600,7 @@ def decide_frame(enc, pull=True):
         mv = me_chain(reff, scale2(orgj))
 
     fseg, iseg = [], []
-    for s in SIZES:
+    for s in eval_sizes:
         n = (H // s) * (W // s)
         if is_b:
             ci, mvc, tb0 = eval_inter(orgj, reffA, mvA[s], lam, qp, H, W,
@@ -609,7 +622,8 @@ def decide_frame(enc, pull=True):
             mvc = mvs = jnp.zeros((n, 2), I32)
             tbc = jnp.zeros((n,), I32)
         if s <= 64:
-            cn, imode = eval_intra(orgpj, orgj, lam, qp, H, W, s, bd)
+            cn, imode = eval_intra(orgpj, orgj, lam, qp, H, W, s, bd,
+                                   nim=fi.num_intra_modes)
         else:
             cn = jnp.full((n,), jnp.inf, jnp.float32)
             imode = jnp.zeros((n,), I32)
@@ -651,6 +665,7 @@ def _finish_decide(fpk, ipk, out, geom):
     H, W, H0, W0, lamf = geom
     is_b = out["is_b"]
     tb_on = out.get("tb_on", False)
+    eval_sizes = out.get("eval_sizes", SIZES)
     nf, ni = (5, 7) if is_b else (3, 5)
     if tb_on:
         ni += 1
@@ -658,6 +673,19 @@ def _finish_decide(fpk, ipk, out, geom):
     fo = io = 0
     for s in SIZES:
         n = (H // s) * (W // s)
+        if s not in eval_sizes:
+            # size skipped on device (no block of this size fits the
+            # visible frame): INF costs force a split, zero meta
+            cost[s] = tuple(np.full((n,), INF, np.float32)
+                            for _ in range(nf))
+            m = (np.zeros((n, 2), np.int64), np.zeros((n, 2), np.int64),
+                 np.zeros((n,), np.int64))
+            if is_b:
+                m += (np.zeros((n, 2), np.int64),)
+            if tb_on:
+                m += (np.zeros((n,), np.int64),)
+            meta[s] = m
+            continue
         cost[s] = tuple(fpk[fo + k * n:fo + (k + 1) * n]
                         for k in range(nf))
         fo += nf * n

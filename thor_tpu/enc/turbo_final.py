@@ -33,6 +33,7 @@ write_block enc/write_bits.c:360.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -656,6 +657,20 @@ def plan_frame(enc, dec):
     for k in range(nsv):
         for sl in range(nsh):
             walk(sb, k * sb, sl * sb)
+    if os.environ.get("THOR_TURBO_DEBUG"):
+        import sys
+        from collections import Counter
+        hist = Counter()
+        for nd in nodes:
+            if nd[0] == "leaf":
+                b = nd[1]
+                hist[(b.size, b.best["mode"])] += 1
+        names = {0: "skip", 1: "intra", 2: "inter", 3: "bipred",
+                 4: "merge"}
+        txt = " ".join(f"{s}px/{names.get(m, m)}:{c}" for (s, m), c in
+                       sorted(hist.items()))
+        print(f"[turbo] frame {fi.frame_num} type {fi.frame_type} "
+              f"leaves: {txt}", file=sys.stderr, flush=True)
     return nodes, plan, intra_list
 
 

@@ -25,6 +25,13 @@ class YuvFrame:
         self.bitdepth = bitdepth
         self.input_bitdepth = input_bitdepth
         self.frame_num = 0
+        # False while a deferred device->host pixel copy is outstanding
+        # (dec/device_frame.py note_ref): the metadata (frame_num) is
+        # already current but y_full/u_full/v_full still hold the
+        # previous frame.  Consumers of the host pixel planes should
+        # assert this flag so an unguarded read fails loudly instead of
+        # decoding from stale pixels.
+        self.host_pixels_valid = True
         dtype = np.uint8 if bitdepth == 8 else np.uint16
         self.dtype = dtype
         pc = pad >> self.sub
@@ -74,6 +81,7 @@ class YuvFrame:
     def copy_from(self, other: "YuvFrame"):
         """create_reference_frame: copy visible area then pad."""
         self.frame_num = other.frame_num
+        self.host_pixels_valid = True
         self.y[:] = other.y
         if not self.mono:
             self.u[:] = other.u

@@ -24,8 +24,10 @@ ORACLE_DEC = "/tmp/oracle/build/Thordec"
 CFG = os.path.join(REPO, "configs", "config_LDB_high_efficiency.txt")
 W, H, N = 1920, 1080, 8
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# persistent compile cache: per-machine keyed default via thor_tpu._cache
+from thor_tpu._cache import setup_env as _cache_setup  # noqa: E402
+
+_cache_setup()
 
 
 def make_clip(path):
@@ -62,15 +64,19 @@ def main():
     ref_bit = os.path.join(tmp, "ref.bit")
     ref_rec = os.path.join(tmp, "ref_rec.yuv")
     if os.path.exists(ORACLE_ENC):
-        t0 = time.time()
-        subprocess.run([ORACLE_ENC, "-cf", CFG, "-width", str(W),
-                        "-height", str(H), "-qp", "32", "-f", str(N),
-                        "-if", clip, "-of", ref_bit, "-rf", ref_rec],
-                       check=True, capture_output=True)
-        ref_dt = time.time() - t0
-        out["thorenc_he_fps"] = round(N / ref_dt, 4)
-        out["thorenc_bytes"] = os.path.getsize(ref_bit)
-        out["thorenc_psnr"] = round(psnr(ref_rec, clip), 3)
+        try:
+            t0 = time.time()
+            subprocess.run([ORACLE_ENC, "-cf", CFG, "-width", str(W),
+                            "-height", str(H), "-qp", "32", "-f", str(N),
+                            "-if", clip, "-of", ref_bit, "-rf", ref_rec],
+                           check=True, capture_output=True, timeout=400)
+            ref_dt = time.time() - t0
+            out["thorenc_he_fps"] = round(N / ref_dt, 4)
+            out["thorenc_bytes"] = os.path.getsize(ref_bit)
+            out["thorenc_psnr"] = round(psnr(ref_rec, clip), 3)
+        except (subprocess.TimeoutExpired,
+                subprocess.CalledProcessError) as e:
+            out["thorenc_he_fps_note"] = f"oracle failed: {type(e).__name__}"
 
     # ---- turbo HE (in-process, per-frame timed) ----
     os.environ["THOR_TURBO"] = "1"
@@ -105,8 +111,14 @@ def main():
     if os.path.exists(ORACLE_DEC):
         dec_out = os.path.join(tmp, "turbo_dec.yuv")
         subprocess.run([ORACLE_DEC, bit, dec_out], check=True,
-                       capture_output=True)
+                       capture_output=True, timeout=400)
         out["thordec_exact"] = open(dec_out, "rb").read() == rec
+    else:
+        # no oracle on this machine: gate on our own decoder instead
+        # (itself golden-tested bit-exact against Thordec)
+        from thor_tpu.dec import decode_stream
+        _, dframes = decode_stream(bs)
+        out["selfdec_exact"] = b"".join(dframes) == rec
     if "thorenc_he_fps" in out:
         out["speedup_vs_thorenc_he"] = round(
             out["turbo_he_fps"] / out["thorenc_he_fps"], 2)

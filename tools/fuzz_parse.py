@@ -43,6 +43,13 @@ def build():
 def run(n, seed=0):
     import numpy as np
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Host pixel path: the sanitizer target is the C parse tier, and
+    # malformed streams produce content-dependent device plan shapes
+    # that each trigger a fresh (minutes-long under ASan) XLA compile.
+    # The host path exercises the identical parse + recon logic with
+    # zero compiles (~1 s/stream); the device executors have their own
+    # golden bit-exactness tests.
+    os.environ.setdefault("THOR_DEVICE_FILTERS", "0")
     from thor_tpu.dec import decode_stream
 
     data = bytearray(open(GOLD, "rb").read())
@@ -103,6 +110,10 @@ def drive(n):
     # the JAX/CPython stack leaks by design at exit; only real bugs abort
     env["ASAN_OPTIONS"] = "detect_leaks=0:abort_on_error=1"
     env["JAX_PLATFORMS"] = "cpu"
+    # the axon sitecustomize force-selects the tunneled TPU backend when
+    # this trigger is set, overriding JAX_PLATFORMS=cpu - without the
+    # scrub every fuzz decode round-trips the network tunnel
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run([sys.executable, __file__, "run", str(n)], env=env)
     if r.returncode != 0:
