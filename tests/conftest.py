@@ -31,6 +31,22 @@ try:
 except Exception:
     pass
 
+# Cache READS only in the pytest main process.  jaxlib 0.9's XLA:CPU
+# executable.serialize() intermittently SEGFAULTS when a large fused
+# program is serialized after substantial prior jax activity in the
+# same process (reproduced at 3 different call sites; the identical
+# compile+write always succeeds in a fresh process).  Tests that spawn
+# subprocesses (fuzz, HE-preset encodes) still write entries, as do
+# bench.py / the multichip dryrun / tools - all fresh processes - so
+# the persistent cache still warms up; the long-lived suite process
+# just never calls the crashing serialize path.
+try:
+    from jax._src import compilation_cache as _cc
+
+    _cc.put_executable_and_time = lambda *a, **k: None
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

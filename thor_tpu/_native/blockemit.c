@@ -124,7 +124,17 @@ static void plan_walk(parse_ctx_t *c, const turbo_plan_t *t, int size,
         r[B_INTRA_MODE] = t->imode[si][flat];
         r[B_DIR] = -1;
     } else if (ch == 0) {
-        /* skip: nearest candidate to the probed MV (turbo_final.py) */
+        /* skip: exact candidate match to the probed MV (turbo_final.py).
+         * The decision's skip SSD was computed WITH the probe MV; coding
+         * the nearest-but-different candidate realizes a different
+         * (possibly much worse) prediction, so on P frames a probe MV
+         * absent from the true list demotes the block to MODE_INTER with
+         * the probed MV - the pixels the decision costed, plus residual
+         * coding, at a few extra MV/cbp bits.  B frames demote with
+         * ref_idx 0 = slot 0, the same reference the skip probes used
+         * (the interpolated frame under interp_ref=1 - the reference
+         * encoder likewise allows MODE_INTER with ref_idx 0 there,
+         * enc/encode_block.c:1966-1973). */
         cand_t cands[2];
         int n = gather_skip_merge(c, ypos, xpos, size, cands);
         int wy = t->mv_skip[si][2 * flat], wx = t->mv_skip[si][2 * flat + 1];
@@ -137,6 +147,17 @@ static void plan_walk(parse_ctx_t *c, const turbo_plan_t *t, int size,
                                          : wx - cands[i].mv0x);
             if (d < bdist) { bdist = d; bidx = i; }
         }
+        if (bdist != 0) {
+            int mvpy, mvpx;
+            get_mv_pred(c, ypos, xpos, size, &mvpy, &mvpx);
+            r[B_MODE] = MODE_INTER;
+            r[B_REF0] = 0; r[B_REF1] = 0; r[B_DIR] = 0;
+            r[E_MVPY] = mvpy; r[E_MVPX] = mvpx;
+            for (int i = 0; i < 4; i++) {
+                r[B_MV0 + 2 * i] = wy; r[B_MV0 + 2 * i + 1] = wx;
+                r[B_MV1 + 2 * i] = wy; r[B_MV1 + 2 * i + 1] = wx;
+            }
+        } else {
         cand_t *k = &cands[bidx];
         r[B_MODE] = MODE_SKIP;
         r[B_SKIP_IDX] = bidx;
@@ -145,6 +166,7 @@ static void plan_walk(parse_ctx_t *c, const turbo_plan_t *t, int size,
         for (int i = 0; i < 4; i++) {
             r[B_MV0 + 2 * i] = k->mv0y; r[B_MV0 + 2 * i + 1] = k->mv0x;
             r[B_MV1 + 2 * i] = k->mv1y; r[B_MV1 + 2 * i + 1] = k->mv1x;
+        }
         }
     } else if (ch == 5) {
         /* bipred: list-0 MV direct, list-1 negated (future ref is MC'd

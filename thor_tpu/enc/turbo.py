@@ -844,7 +844,10 @@ def encode_frame_turbo(enc):
                   "ref_idx1": 0, "dir": -1, "skip_idx": 0,
                   "mv_arr0": [(0, 0)] * 4, "mv_arr1": [(0, 0)] * 4}
         elif ch == 0:
-            # map the decided skip MV onto the true candidate list
+            # exact-match the decided skip MV onto the true candidate
+            # list; a probe MV absent from the list demotes to inter
+            # with the probed MV (twin of turbo_final.plan_frame /
+            # blockemit.c; this host path codes P frames only)
             want = (int(mvs[flat, 0]), int(mvs[flat, 1]))
             bidx = 0
             bdist = 1 << 30
@@ -853,11 +856,18 @@ def encode_frame_turbo(enc):
                 if d < bdist:
                     bdist = d
                     bidx = i
-            c = bi.skip_candidates[bidx]
-            bp = {"mode": MODE_SKIP, "tb_param": 0, "pb_part": 0,
-                  "skip_idx": bidx, "ref_idx0": c[4], "ref_idx1": c[5],
-                  "mv_arr0": [(c[0], c[1])] * 4,
-                  "mv_arr1": [(c[2], c[3])] * 4, "dir": c[6]}
+            if bdist != 0:
+                bi.mvp = inter.get_mv_pred(ypos, xpos, w, h, size, size,
+                                           sb, enc.dd)
+                bp = {"mode": MODE_INTER, "tb_param": 0, "pb_part": 0,
+                      "ref_idx0": 0, "ref_idx1": 0, "mv_arr0": [want] * 4,
+                      "mv_arr1": [want] * 4, "dir": 0, "skip_idx": 0}
+            else:
+                c = bi.skip_candidates[bidx]
+                bp = {"mode": MODE_SKIP, "tb_param": 0, "pb_part": 0,
+                      "skip_idx": bidx, "ref_idx0": c[4], "ref_idx1": c[5],
+                      "mv_arr0": [(c[0], c[1])] * 4,
+                      "mv_arr1": [(c[2], c[3])] * 4, "dir": c[6]}
         else:
             mv = (int(mvc[flat, 0]), int(mvc[flat, 1]))
             bi.mvp = inter.get_mv_pred(ypos, xpos, w, h, size, size, sb,

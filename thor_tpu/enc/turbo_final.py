@@ -582,11 +582,29 @@ def plan_frame(enc, dec):
                 if d < bdist:
                     bdist = d
                     bidx = i
-            c = bi.skip_candidates[bidx]
-            bp = {"mode": MODE_SKIP, "tb_param": 0, "tb_split": 0,
-                  "pb_part": 0, "skip_idx": bidx, "ref_idx0": c[4],
-                  "ref_idx1": c[5], "mv_arr0": [(c[0], c[1])] * 4,
-                  "mv_arr1": [(c[2], c[3])] * 4, "dir": c[6]}
+            if bdist != 0:
+                # the decision's skip SSD assumed the probe MV; when it
+                # is absent from the true candidate list, coding the
+                # nearest candidate realizes different (possibly far
+                # worse) pixels - demote to inter with the probed MV
+                # instead (same prediction the decision costed, plus
+                # residual coding).  ref_idx 0 = slot 0 is the same
+                # reference the skip probes used (the interpolated
+                # frame under interp_ref=1; the reference encoder also
+                # allows inter ref 0 there, enc/encode_block.c:1966).
+                # Twin of blockemit.c plan_walk.
+                bi.mvp = inter.get_mv_pred(ypos, xpos, w, h, size, size,
+                                           sb, enc.dd)
+                bp = {"mode": MODE_INTER, "tb_param": 0, "tb_split": 0,
+                      "pb_part": 0, "ref_idx0": 0, "ref_idx1": 0,
+                      "mv_arr0": [want] * 4, "mv_arr1": [want] * 4,
+                      "dir": 0, "skip_idx": 0}
+            else:
+                c = bi.skip_candidates[bidx]
+                bp = {"mode": MODE_SKIP, "tb_param": 0, "tb_split": 0,
+                      "pb_part": 0, "skip_idx": bidx, "ref_idx0": c[4],
+                      "ref_idx1": c[5], "mv_arr0": [(c[0], c[1])] * 4,
+                      "mv_arr1": [(c[2], c[3])] * 4, "dir": c[6]}
         elif ch == 5:
             # bipred: list-0 MV direct, list-1 MV negated (future ref is
             # MC'd with sign=1, which negates the emitted vector)

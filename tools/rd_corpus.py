@@ -31,7 +31,8 @@ ORACLE_ENC = "/tmp/oracle/build/Thorenc"
 ORACLE_DEC = "/tmp/oracle/build/Thordec"
 W, H = 256, 192
 CFGS = {"lc": "config_LDB_low_complexity.txt",
-        "he": "config_LDB_high_efficiency.txt"}
+        "he": "config_LDB_high_efficiency.txt",
+        "ra": "config_RA_medium_complexity.txt"}
 
 
 def make_clips(n):
@@ -136,7 +137,8 @@ def main():
     ap.add_argument("--clips", default="")
     args = ap.parse_args()
     n = args.frames
-    presets = ["lc", "he"] if args.preset == "both" else [args.preset]
+    presets = (["lc", "he"] if args.preset == "both"
+               else args.preset.split(","))
     clips = make_clips(n)
     if args.clips:
         keep = args.clips.split(",")
