@@ -121,6 +121,28 @@ def frame_qp(p: EncParams, fi, num_encoded_frames, sub_gop):
     return min(51, max(0, qp))
 
 
+_stage_dev_ref_fn = None
+
+
+def _stage_dev_ref(y, u, v, pad: int, pad_c: int):
+    """jit'd edge-pad of a final recon into reference geometry (device);
+    lazily built so the host-only path never imports jax kernels."""
+    global _stage_dev_ref_fn
+    if _stage_dev_ref_fn is None:
+        from functools import partial
+        import jax
+        import jax.numpy as jnp
+
+        @partial(jax.jit, static_argnames=("pad", "pad_c"))
+        def stage(y, u, v, pad: int, pad_c: int):
+            return (jnp.pad(y.astype(jnp.int16), pad, mode="edge"),
+                    jnp.pad(u.astype(jnp.int16), pad_c, mode="edge"),
+                    jnp.pad(v.astype(jnp.int16), pad_c, mode="edge"))
+
+        _stage_dev_ref_fn = stage
+    return _stage_dev_ref_fn(y, u, v, pad=pad, pad_c=pad_c)
+
+
 class Encoder:
     def __init__(self, params: EncParams):
         self.params = params.validate()
@@ -288,6 +310,45 @@ class Encoder:
 
     def _ref_frame(self, r):
         return self.ref[r] if r >= 0 else self.interp_frames[0]
+
+    # --- device-resident reference ring (turbo fast path) -----------------
+    # The turbo decide + finalize passes read reference PIXELS on device
+    # every frame; uploading the padded ref planes per frame (~10 MB per
+    # slot) dominates the per-frame wall time on transfer-bound links.
+    # After each frame's filter chain completes, the final recon is
+    # uploaded ONCE (visible area, native dtype) and edge-padded on
+    # device; decide/finalize then stage refs from this ring and fall
+    # back to a host upload only on a miss (e.g. the interpolated
+    # frame).  Values are bit-identical to ref.y_full by construction
+    # (same edge-replicate rule as YuvFrame.pad_frame).
+    DEV_REF_CAP = 12
+
+    def _note_dev_ref(self, frame_num):
+        try:
+            import jax.numpy as jnp
+        except Exception:  # noqa: BLE001
+            return
+        if not hasattr(self, "_dev_refs"):
+            from collections import OrderedDict
+            self._dev_refs = OrderedDict()
+        rec = self.rec
+        ref0 = self.ref[0]
+        planes = _stage_dev_ref(
+            jnp.asarray(np.ascontiguousarray(rec.y)),
+            jnp.asarray(np.ascontiguousarray(rec.u)),
+            jnp.asarray(np.ascontiguousarray(rec.v)),
+            pad=ref0.pad, pad_c=ref0.pad_c)
+        self._dev_refs[frame_num] = planes
+        while len(self._dev_refs) > self.DEV_REF_CAP:
+            self._dev_refs.popitem(last=False)
+
+    def _dev_ref_planes(self, ref):
+        """Resident (y,u,v) padded int16 device planes for `ref`, or
+        None when the frame is not in the ring."""
+        ring = getattr(self, "_dev_refs", None)
+        if ring is None:
+            return None
+        return ring.get(ref.frame_num)
 
     def _inter_pred_block(self, bp, bi: BlockInfo):
         """Prediction for non-intra modes (enc/encode_block.c:1433-1460)."""
@@ -1422,6 +1483,20 @@ class Encoder:
             store_mv(self.dd, self.width, self.height, fi.b_level,
                      fi.frame_type, fi.frame_num, p.num_reorder_pics + 1)
 
+        import os as _os
+        import time as _time
+        _prof = _os.environ.get("THOR_ENC_PROF") == "1"
+        _t0 = _time.time()
+
+        def _tick(label):
+            nonlocal _t0
+            if _prof:
+                import sys as _sys
+                t1 = _time.time()
+                print("  ef.%s: %.3fs" % (label, t1 - _t0),
+                      file=_sys.stderr, flush=True)
+                _t0 = t1
+
         if p.deblocking:
             qpc = int(CHROMA_QP[qp]) if p.subsample != 444 else qp
             if FR._device_ok():
@@ -1435,6 +1510,7 @@ class Encoder:
                                              self.height, qpc, self.sub,
                                              p.bitdepth)
 
+        _tick("deblock")
         if p.cdef:
             cdef_bits = FR.cdef_search(self, self.rec, self.orig, self.dd)
             FR.apply_cdef_enc(self, self.rec, self.dd)
@@ -1444,6 +1520,7 @@ class Encoder:
             W.write_cdef_params(w, self)
             w.restore_pos(cur)
 
+        _tick("cdef")
         if p.clpf:
             if qp <= 16:
                 w.put_flc(2, 0)
@@ -1472,6 +1549,7 @@ class Encoder:
                 if sv:
                     self._clpf_apply(2, sv, 4, 0, qp)
 
+        _tick("clpf")
         if p.bitrate > 0:
             self.rc.update_frame(w.get_bit_pos() - self._rc_start_bits)
 
@@ -1480,6 +1558,10 @@ class Encoder:
         self.ref[1:] = self.ref[:-1]
         self.ref[0] = tmp
         self.ref[0].copy_from(self.rec)
+        _tick("refcopy")
+        if self.turbo and FR._device_ok():
+            self._note_dev_ref(self.ref[0].frame_num)
+        _tick("devref")
 
     def _deblock_device(self, qp, qpc):
         """Encoder-side deblock on device (same kernels as the decoder's

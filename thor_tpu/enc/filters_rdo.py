@@ -256,9 +256,15 @@ def _cdef_mse_device(enc, rec, org, dd, speed, total, pri_damping,
         np.array([gi % CDEF_SEC_STRENGTHS for gi in range(total)],
                  np.int32))
 
-    ry = jnp.asarray(rec.y.astype(np.int32))
+    # native-dtype uploads, int32 widening on device: these six plane
+    # uploads plus the per-strength sum pulls dominate the per-frame
+    # cost of the search on transfer-bound links
+    def up32(p):
+        return jnp.asarray(np.ascontiguousarray(p)).astype(jnp.int32)
+
+    ry = up32(rec.y)
     dirs_j, var_j = OF.cdef_dirs(ry, coeff_shift)
-    ls = OF.cdef_search_sums(ry, jnp.asarray(org.y.astype(np.int32)),
+    ls = OF.cdef_search_sums(ry, up32(org.y),
                              dirs_j, var_j, levels, secs, 0, 8,
                              pri_damping, sec_damping, coeff_shift)
     # chroma 8x8 blocks use the luma dir computed at the SAME (m,n)
@@ -272,16 +278,17 @@ def _cdef_mse_device(enc, rec, org, dd, speed, total, pri_damping,
     dirc = dirs_j[jnp.asarray(iy)[:, None], jnp.asarray(ix)[None, :]]
     varc = var_j[jnp.asarray(iy)[:, None], jnp.asarray(ix)[None, :]]
     cs_u = OF.cdef_search_sums(
-        jnp.asarray(rec.u.astype(np.int32)),
-        jnp.asarray(org.u.astype(np.int32)), dirc, varc, levels, secs,
+        up32(rec.u), up32(org.u), dirc, varc, levels, secs,
         1, 8, pri_damping - 1, sec_damping - 1, coeff_shift)
     cs_v = OF.cdef_search_sums(
-        jnp.asarray(rec.v.astype(np.int32)),
-        jnp.asarray(org.v.astype(np.int32)), dirc, varc, levels, secs,
+        up32(rec.v), up32(org.v), dirc, varc, levels, secs,
         1, 8, pri_damping - 1, sec_damping - 1, coeff_shift)
 
-    lsums = np.asarray(ls)                       # [G,3,nby,nbx]
-    ssd_c = np.asarray(cs_u) + np.asarray(cs_v)  # [G,nbyc,nbxc]
+    # per-8x8 sums fit int32 up to 12-bit (64 * 4095^2 < 2^31): pull
+    # half the bytes, widen back to int64 on host for the exact math
+    lsums = np.asarray(ls.astype(jnp.int32)).astype(np.int64)
+    ssd_c = (np.asarray(cs_u.astype(jnp.int32)).astype(np.int64) +
+             np.asarray(cs_v.astype(jnp.int32)).astype(np.int64))
     dirs_np = np.asarray(dirs_j)
     var_np = np.asarray(var_j)
 
@@ -432,6 +439,14 @@ def apply_cdef_enc(enc, rec, dd):
         su = enc.cdef_uv_strengths[gi]
         presets_y.append({"level": sy >> 2, "sec_strength": sy & 3})
         presets_uv.append({"level": su >> 2, "sec_strength": su & 3})
+    if (_device_ok() and not rec.mono and rec.sub == 1 and
+            rec.width % 8 == 0 and rec.height % 8 == 0):
+        # one device dispatch (same kernels/maps as the decoder's fused
+        # chain, ops/filters.py:filters_exec CDEF stage - bit-exact with
+        # the host spec path); the host per-block walk costs ~20 s/frame
+        # at 1080p
+        _apply_cdef_device(enc, rec, dd, presets_y, presets_uv)
+        return
     damping = (enc.cdef_damping, enc.cdef_damping)
     dirs = {}
     filters.cdef_frame(rec.y, dd, rec.width, rec.height, 0, rec.sub,
@@ -441,6 +456,48 @@ def apply_cdef_enc(enc, rec, dd):
                            p.bitdepth, presets_uv, damping, dirs)
         filters.cdef_frame(rec.v, dd, rec.width, rec.height, 2, rec.sub,
                            p.bitdepth, presets_uv, damping, dirs)
+
+
+def _apply_cdef_device(enc, rec, dd, presets_y, presets_uv):
+    from functools import partial
+    import jax
+    import jax.numpy as jnp
+    from ..ops import filters as OF
+
+    W, H = rec.width, rec.height
+    cs = enc.params.bitdepth - 8
+    lv0, sec0, m0 = OF.cdef_block_maps(dd, presets_y, W, H, 0, rec.sub)
+    lv1, sec1, m1 = OF.cdef_block_maps(dd, presets_uv, W, H, 1, rec.sub)
+    _, _, m2 = OF.cdef_block_maps(dd, presets_uv, W, H, 2, rec.sub)
+
+    @partial(jax.jit, static_argnames=("damping", "cs"))
+    def run(y, u, v, lv0, sec0, m0, lv1, sec1, m1, m2, damping: int,
+            cs: int):
+        y = y.astype(jnp.int32)
+        u = u.astype(jnp.int32)
+        v = v.astype(jnp.int32)
+        dirs, var = OF.cdef_dirs(y, cs)
+        y = OF.cdef_plane(y, dirs, var, lv0, sec0, m0, 8, 0, damping,
+                          damping, cs)
+        u = OF.cdef_plane(u, dirs, var, lv1, sec1, m1, 4, 1, damping - 1,
+                          damping - 1, cs)
+        v = OF.cdef_plane(v, dirs, var, lv1, sec1, m2, 4, 2, damping - 1,
+                          damping - 1, cs)
+        uv = jnp.concatenate([u, v], axis=1)
+        return jnp.concatenate([y.astype(jnp.int16),
+                                uv.astype(jnp.int16)], axis=0)
+
+    packed = np.asarray(run(
+        jnp.asarray(np.ascontiguousarray(rec.y)),
+        jnp.asarray(np.ascontiguousarray(rec.u)),
+        jnp.asarray(np.ascontiguousarray(rec.v)),
+        jnp.asarray(lv0), jnp.asarray(sec0), jnp.asarray(m0),
+        jnp.asarray(lv1), jnp.asarray(sec1), jnp.asarray(m1),
+        jnp.asarray(m2), damping=enc.cdef_damping, cs=cs))
+    Hc, Wc = H >> 1, W >> 1
+    rec.y[:] = packed[:H].astype(rec.dtype)
+    rec.u[:] = packed[H:H + Hc, :Wc].astype(rec.dtype)
+    rec.v[:] = packed[H:H + Hc, Wc:].astype(rec.dtype)
 
 
 # ---------------- CLPF RDO ----------------
@@ -699,6 +756,9 @@ def _clpf_tables_plane_dev(rec_p, org_p, shift: int, dmp: int):
 
     @partial(jax.jit, static_argnames=("shift", "dmp"))
     def run(r, o, shift: int, dmp: int):
+        # inputs arrive at their native (uint8/uint16) dtype - the
+        # tunnel upload is the dominant cost of this pre-pass, so the
+        # int32 widening happens on device
         r = r.astype(jnp.int32)
         o = o.astype(jnp.int32)
         H, W = r.shape
@@ -712,8 +772,9 @@ def _clpf_tables_plane_dev(rec_p, org_p, shift: int, dmp: int):
             outs.append((d * d).reshape(h8, 8, w8, 8).sum(axis=(1, 3)))
         return jnp.stack(outs, -1)
 
-    t = np.asarray(run(jnp.asarray(rec_p.astype(np.int32)),
-                       jnp.asarray(org_p.astype(np.int32)), shift, dmp))
+    t = np.asarray(run(jnp.asarray(np.ascontiguousarray(rec_p)),
+                       jnp.asarray(np.ascontiguousarray(org_p)),
+                       shift, dmp))
     return (t.astype(np.int64) >> (shift * 2)).astype(np.int64)
 
 

@@ -82,6 +82,9 @@ class _LaneView:
             return self._interp
         return self._by_frame_num(self._by_slot[slot])
 
+    def _dev_ref_planes(self, ref):
+        return self._enc._dev_ref_planes(ref)
+
 
 class _Prefetcher:
     def __init__(self, entries, yuv, devices, lookahead, params):

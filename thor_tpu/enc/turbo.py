@@ -579,8 +579,14 @@ def decide_frame(enc, pull=True):
         return mv
 
     def stage(ref):
-        # native int16 upload; edge-extend to the padded decision
-        # geometry on device
+        # device-resident ring hit (encoder._note_dev_ref): no upload;
+        # miss (interp frames, host-only runs): native int16 upload.
+        # Either way the edge-extend to the padded decision geometry
+        # runs on device.
+        getp = getattr(enc, "_dev_ref_planes", None)
+        planes = getp(ref) if getp is not None else None
+        if planes is not None:
+            return _stage_ref(planes[0], H, W)
         return _stage_ref(jnp.asarray(ref.y_full.astype(np.int16)), H, W)
 
     if is_b:

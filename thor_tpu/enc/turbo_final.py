@@ -330,11 +330,15 @@ def finalize_core(org_y, org_u, org_v, ystack, ustack, vstack, gstack,
     maxv = (1 << bd) - 1
     hp, wp = q4y.shape[1] * 4, q4y.shape[2] * 4
     hc, wc = q4c.shape[1] * 4, q4c.shape[2] * 4
-    # originals arrive at their native (narrow) dtype to keep the
-    # host->device transfer small; widen on device
+    # originals and plan grids arrive at their native (narrow) dtypes
+    # to keep the host->device transfer small; widen on device
     org_y = org_y.astype(jnp.int32)
     org_u = org_u.astype(jnp.int32)
     org_v = org_v.astype(jnp.int32)
+    gstack = gstack.astype(jnp.int32)
+    cstack = cstack.astype(jnp.int32)
+    q4y = q4y.astype(jnp.int32)
+    q4c = q4c.astype(jnp.int32)
 
     # ---- inter MC + residual coding ----
     if has_inter:
@@ -848,25 +852,61 @@ def encode_frame_turbo_final(enc, dec):
             dl = inter.get_downleft_available(y, x, size, size, w, h, sb)
             segs[si, li] = (1, y, x, log2i(size), im, ur, dl)
             ipos[(y, x)] = (si, li)
+    if prof:
+        print(f"  tf.counts: intra={len(intra_list)} "
+              f"segs={len(seg_list)} scap={scap}", flush=True)
     tick("segs")
 
     has_inter = is_p and bool(plan.inter.any())
     if has_inter:
-        ref_frames = [enc._ref_frame(r) for r in fi.ref_array]
-        ystack = np.stack([r.y_full for r in ref_frames]).astype(np.int16)
-        ustack = np.stack([r.u_full for r in ref_frames]).astype(np.int16)
-        vstack = np.stack([r.v_full for r in ref_frames]).astype(np.int16)
+        # upload only the reference slots the plan actually uses (LDB
+        # turbo frames reference one of max_num_ref=4 slots; the ref
+        # stacks are ~10 MB/slot and the tunnel upload is the dominant
+        # per-frame cost).  Slot ids in the r0/r1 grids are remapped to
+        # the compacted stack order; inactive cells hold 0, in range.
+        m0 = plan.ly["op0"] > 0
+        m1 = plan.ly["op1"] > 0
+        if m0.any() or m1.any():
+            used = np.unique(np.concatenate(
+                [plan.ly["r0"][m0].ravel(), plan.ly["r1"][m1].ravel()]))
+        else:
+            used = np.zeros(1, np.int64)
+        remap = np.zeros(int(used.max()) + 1, plan.ly["r0"].dtype)
+        for new, old in enumerate(used.tolist()):
+            remap[int(old)] = new
+        plan.ly["r0"][m0] = remap[plan.ly["r0"][m0]]
+        plan.ly["r1"][m1] = remap[plan.ly["r1"][m1]]
+        ref_frames = [enc._ref_frame(fi.ref_array[int(s)]) for s in used]
+        getp = getattr(enc, "_dev_ref_planes", None)
+
+        def _planes(r):
+            # resident ring hit: already-padded int16 device planes,
+            # bit-identical to r.*_full (same edge-replicate rule)
+            d = getp(r) if getp is not None else None
+            if d is not None:
+                return d
+            return (jnp.asarray(r.y_full.astype(np.int16)),
+                    jnp.asarray(r.u_full.astype(np.int16)),
+                    jnp.asarray(r.v_full.astype(np.int16)))
+
+        trip = [_planes(r) for r in ref_frames]
+        ystack = jnp.stack([t[0] for t in trip])
+        ustack = jnp.stack([t[1] for t in trip])
+        vstack = jnp.stack([t[2] for t in trip])
         pad, pad_c = ref_frames[0].pad, ref_frames[0].pad_c
     else:
         ystack = np.zeros((1, 1, 1), np.int16)
         ustack = vstack = ystack
         pad = pad_c = 0
 
-    gstack = np.stack([plan.ly[k].reshape(-1) for k in LY_KEYS])
+    # int16/uint8 uploads (coords < 32k, qp <= 51); device widens
+    gstack = np.stack([plan.ly[k].reshape(-1)
+                       for k in LY_KEYS]).astype(np.int16)
     cstack = np.stack([plan.ch[k].reshape(-1) for k in CH_KEYS] +
-                      [plan.avg.reshape(-1), plan.inter.reshape(-1)])
-    q4y = np.stack([plan.qp4["y"], plan.ls4["y"]])
-    q4c = np.stack([plan.qp4["c"], plan.ls4["c"]])
+                      [plan.avg.reshape(-1),
+                       plan.inter.reshape(-1)]).astype(np.int16)
+    q4y = np.stack([plan.qp4["y"], plan.ls4["y"]]).astype(np.uint8)
+    q4c = np.stack([plan.qp4["c"], plan.ls4["c"]]).astype(np.uint8)
 
     tick("stage_inputs")
     qmops = _qm_operands(enc, qp) if p.qmtx else {}

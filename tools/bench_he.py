@@ -22,7 +22,13 @@ sys.path.insert(0, REPO)
 ORACLE_ENC = "/tmp/oracle/build/Thorenc"
 ORACLE_DEC = "/tmp/oracle/build/Thordec"
 CFG = os.path.join(REPO, "configs", "config_LDB_high_efficiency.txt")
-W, H, N = 1920, 1080, 8
+# 1088 rows (64-aligned 1080p), the same geometry as the decode
+# headline stream and the turbo LC stage: all three bench stages then
+# share one set of XLA kernel families through the persistent cache
+# (1080 vs 1088 would otherwise compile a disjoint family set).  The
+# reference Thorenc baseline is measured in-run on the same clip, so
+# the comparison stays apples-to-apples.
+W, H, N = 1920, 1088, 8
 
 # persistent compile cache: per-machine keyed default via thor_tpu._cache
 from thor_tpu._cache import setup_env as _cache_setup  # noqa: E402
@@ -87,9 +93,12 @@ def main():
                                qp=32)
     yuv = open(clip, "rb").read()
     times = []
+    t_start = time.time()
 
     def prog(fn, ft, stats):
         times.append(time.time())
+        print(f"[bench_he] frame {fn} done at "
+              f"{times[-1] - t_start:.1f}s", flush=True)
 
     t0 = time.time()
     bs, rec = E.encode_sequence(params, yuv, progress=prog)
