@@ -15,7 +15,7 @@ import os
 import platform
 
 
-def machine_key() -> str:
+def machine_key(env=None) -> str:
     """Stable fingerprint of this host's CPU.
 
     Hashes the ENTIRE first-processor block of /proc/cpuinfo (model,
@@ -26,12 +26,20 @@ def machine_key() -> str:
     type ... doesn't match ... could lead to SIGILL").  A key that is
     too fine only costs a cold cache; one that is too coarse crashes.
     """
+    if env is None:
+        env = os.environ
     parts = [platform.machine()]
     try:  # AOT blob format also depends on the compiler version
         from importlib.metadata import version
         parts.append("jaxlib=" + version("jaxlib"))
     except Exception:  # noqa: BLE001
         pass
+    # Tunneled-device environments may compile REMOTELY (the device
+    # host's CPU differs from this one), so processes with the tunnel
+    # active must not share CPU AOT blobs with local-only processes.
+    if env.get("PALLAS_AXON_POOL_IPS") and env.get(
+            "PALLAS_AXON_REMOTE_COMPILE"):
+        parts.append("axon-remote-compile")
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
@@ -47,11 +55,13 @@ def machine_key() -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
-def cache_dir() -> str:
-    override = os.environ.get("THOR_JAX_CACHE_DIR")
+def cache_dir(env=None) -> str:
+    if env is None:
+        env = os.environ
+    override = env.get("THOR_JAX_CACHE_DIR")
     if override is not None:
         return override
-    return "/tmp/jaxcache-" + machine_key()
+    return "/tmp/jaxcache-" + machine_key(env)
 
 
 def setup_env(env=None) -> str:
@@ -62,7 +72,7 @@ def setup_env(env=None) -> str:
     """
     if env is None:
         env = os.environ
-    d = cache_dir()
+    d = cache_dir(env)
     if d:
         env["JAX_COMPILATION_CACHE_DIR"] = d
         env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
