@@ -404,8 +404,11 @@ def eval_inter(org, reff, mv_s, lam, qp, H: int, W: int, s: int,
     mvg = jnp.stack([cy, cx], -1).reshape(nh, nw, 2)
     mvp = jnp.concatenate([jnp.zeros((nh, 1, 2), I32), mvg[:, :-1]],
                           axis=1).reshape(-1, 2)
+    # +8: super-mode code (~4b at HE ref counts) + cbp code (~3b) +
+    # pb_part flag on split-capable presets - per-leaf syntax the
+    # trial bits don't include
     mvbits = quote_mv_bits_batch(cy - mvp[:, 0], cx - mvp[:, 1])
-    base = lam * (mvbits + 6).astype(jnp.float32)
+    base = lam * (mvbits + 8).astype(jnp.float32)
     cost0 = ssd.astype(jnp.float32) + lam * bits.astype(jnp.float32) + base
     if not tb_trial:
         return cost0, jnp.stack([cy, cx], -1), jnp.zeros_like(cy)
@@ -468,7 +471,12 @@ def eval_intra(orgp, org, lam, qp, H: int, W: int, s: int, bd: int,
     mode = jnp.argmin(sads, axis=0)
     pred = IB.select_mode(preds, mode)
     ssd, bits, cbp = _trial_bits_ssd(ot, pred, qp, s, True, bd)
-    cost = ssd.astype(jnp.float32) + lam * (bits + 5).astype(jnp.float32)
+    # +9: per-leaf syntax the trial doesn't count - super-mode code
+    # (~3b), intra mode (2b at 4 modes / vlc8 at 10), cbp code (~3b),
+    # chroma cbp.  Underestimating this biases the quadtree toward
+    # deep splits (every split multiplies the per-leaf overhead 4x),
+    # the dominant term of the round-5 I-frame rate gap vs Thorenc.
+    cost = ssd.astype(jnp.float32) + lam * (bits + 9).astype(jnp.float32)
     return cost, mode.astype(I32)
 
 
